@@ -1,0 +1,224 @@
+"""Primitive layer ops for the shared transformer core (pure jnp).
+
+Norms, activations, rotary embeddings (default / llama3 / linear scaling),
+ALiBi slopes, and the quantization-aware linear / matmul ops that replace
+the reference's QLinear / QMatmul modules (reference: llm_compressor/
+modules/qlinear.py:86-88, qmatmul.py:33-65) with pure functions: activation
+quantizers execute in-graph at every forward; weights arrive either as plain
+arrays (bf16 or already fake-quantized by calibration) or as packed
+:class:`~llm_compressor_tpu.qformats.QTensor` (real quantized execution via
+the kernels).
+
+All weights use the reference/HF orientation ``(out_features, in_features)``
+so calibration math (Hessians over input channels, per-group scales along
+the contraction dim) maps 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..qformats import QTensor, Quantizer, dequantize, quantize_dequant
+from ..qformats.config import OpQuantConfig
+from .config import ModelConfig, RopeScaling
+
+# ---------------------------------------------------------------------------
+# Norms and activations
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x, weight, eps: float, plus_one: bool = False):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    x32 = x32 * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if plus_one:
+        w = 1.0 + w
+    return (x32 * w).astype(dt)
+
+
+def layer_norm(x, weight, bias, eps: float):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    out = out * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dt)
+
+
+def apply_norm(cfg: ModelConfig, x, p):
+    """Apply the model's norm given a param dict {'weight': w[, 'bias': b]}."""
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, p["weight"], cfg.rms_norm_eps, cfg.norm_weight_plus_one)
+    return layer_norm(x, p["weight"], p.get("bias"), cfg.rms_norm_eps)
+
+
+def activation(name: str, x):
+    if name in ("silu", "swish"):
+        return jax.nn.silu(x)
+    if name in ("gelu", "gelu_python"):
+        return jax.nn.gelu(x, approximate=False)
+    if name in ("gelu_new", "gelu_pytorch_tanh", "gelu_tanh"):
+        return jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(f"Unknown activation {name}")
+
+
+def softcap(x, cap: Optional[float]):
+    if cap is None:
+        return x
+    return jnp.tanh(x / cap) * cap
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+
+def rope_inv_freq(dim: int, theta: float, scaling: Optional[RopeScaling]) -> jnp.ndarray:
+    """Inverse frequencies, with llama3-style frequency rescaling applied
+    statically (matches HF ROPE_INIT_FUNCTIONS['llama3'])."""
+    inv = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    if scaling is None or scaling.kind == "default":
+        return inv
+    if scaling.kind == "linear":
+        return inv / scaling.factor
+    if scaling.kind == "llama3":
+        low = scaling.original_max_position / scaling.low_freq_factor
+        high = scaling.original_max_position / scaling.high_freq_factor
+        wavelen = 2.0 * math.pi / inv
+        smooth = (scaling.original_max_position / wavelen - scaling.low_freq_factor) / (
+            scaling.high_freq_factor - scaling.low_freq_factor
+        )
+        scaled = jnp.where(
+            wavelen > low,
+            inv / scaling.factor,
+            jnp.where(wavelen < high, inv, (1 - smooth) * inv / scaling.factor + smooth * inv),
+        )
+        return scaled
+    raise ValueError(f"Unsupported rope scaling {scaling.kind}")
+
+
+def rope_cos_sin(positions, inv_freq):
+    """positions (B, T) int32 -> cos/sin (B, T, rot_dim) f32."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, rot/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """HF rotate-half convention. x: (B, T, H, D_rot); cos/sin: (B, T, D_rot)."""
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * c + rotated * s
+
+
+# ---------------------------------------------------------------------------
+# ALiBi (BLOOM)
+# ---------------------------------------------------------------------------
+
+
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """HF BLOOM slope construction (powers of 2^(-8/n), with the odd-head
+    interleave for non-power-of-two head counts)."""
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    powers = [base ** (i + 1) for i in range(closest)]
+    if closest != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        n_rem = min(closest, n_heads - closest)
+        powers += [extra_base ** (2 * i + 1) for i in range(n_rem)]
+    return jnp.asarray(powers, dtype=jnp.float32)
+
+
+def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
+    """(H, 1, S) additive bias: slope_h * kv_position."""
+    slopes = alibi_slopes(n_heads)  # (H,)
+    return slopes[:, None, None] * kv_positions[None, None, :].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware linear / matmul
+# ---------------------------------------------------------------------------
+
+
+def maybe_quant(q: Optional[Quantizer], x):
+    if q is None or q.qtype == "dummy":
+        return x
+    return quantize_dequant(q, x)
+
+
+def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None):
+    """y = act_out_q( act_in_q(x) @ W^T + b ).
+
+    ``weight`` is (out, in) — a jnp array (bf16 or pre-fake-quantized by
+    calibration) or a packed QTensor (dequantized here on the XLA path; the
+    Pallas fused kernel path lives in kernels/dequant_matmul.py and is
+    selected by the engine).
+    """
+    if op is not None:
+        x = maybe_quant(op.act_in, x)
+    if isinstance(weight, QTensor):
+        w = dequantize(weight)
+    else:
+        w = weight
+    y = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if op is not None:
+        y = maybe_quant(op.act_out, y)
+    return y
+
+
+def qmatmul_qk(q4, k4t, op: Optional[OpQuantConfig] = None):
+    """scores = out_q( in1_q(Q) @ in2_q(K^T) ).
+
+    Q: (B, H, T, D), K^T: (B, H, D, S). Mirrors the reference QMatmul with
+    axes=-1: the second operand's quantizer runs row-wise over the last axis
+    (qmatmul.py:40-46).
+    """
+    if op is not None:
+        q4 = maybe_quant(op.act_in, q4)
+        q2 = op.act_in
+        if q2.qtype != "dummy":
+            q2 = q2.with_axes_flipped() if q2.eff_axes == -2 else q2
+            k4t = quantize_dequant(q2, k4t)
+    s = jnp.einsum("bhtd,bhds->bhts", q4, k4t, preferred_element_type=jnp.float32)
+    if op is not None:
+        s = maybe_quant(op.act_out, s.astype(q4.dtype)).astype(jnp.float32)
+    return s
+
+
+def qmatmul_sv(probs, v4, op: Optional[OpQuantConfig] = None):
+    """out = out_q( in1_q(S) @ in2_q(V) ).
+
+    S: (B, H, T, S), V: (B, H, S, D). Mirrors reference QMatmul with
+    axes=-2: the second operand (V) is quantized column-wise (per-channel
+    over the sequence axis, qmatmul.py:45-46) — this is the KV-quant slot.
+    """
+    if op is not None:
+        probs = maybe_quant(op.act_in, probs)
+        q2 = op.act_in
+        if q2.qtype != "dummy":
+            q2 = q2.with_axes_flipped() if q2.eff_axes == -1 else q2
+            v4 = quantize_dequant(q2, v4)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v4, preferred_element_type=jnp.float32)
+    if op is not None:
+        out = maybe_quant(op.act_out, out.astype(v4.dtype)).astype(jnp.float32)
+    return out

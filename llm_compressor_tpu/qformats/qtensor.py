@@ -1,0 +1,205 @@
+"""QTensor — real packed quantized tensors (pytree).
+
+The reference simulates quantization by storing quantize-dequantized bf16
+weights (fake quant). The TPU build goes further per the north star: weights
+are stored *packed* — int4 nibbles two-per-byte, int8/fp8 one byte per value,
+group scales alongside — and dequantization happens inside the matmul kernel
+(see kernels/dequant_matmul.py) or via :func:`dequantize` as the XLA
+reference path.
+
+Layout conventions:
+* ``codes`` keeps the logical shape of the source tensor except the *group
+  axis is halved* for 4-bit formats (two values per byte, even index in the
+  low nibble). Packing always runs along the group axis so a Pallas kernel
+  reading one group reads contiguous bytes.
+* ``scales``/``zeros`` have the blocked shape produced by
+  ``find_params`` — one entry per group, broadcastable against the blocked
+  values.
+* FP8 codes are stored as native ``float8_e4m3fn`` / ``float8_e5m2`` arrays
+  (TPU supports these dtypes directly); FP4-E2M1 codes are 4-bit
+  sign/exp/mantissa fields packed two per byte.
+
+Padding: tensors whose group axis is not a multiple of the group size are
+zero-padded at pack time (zeros survive quantization exactly) and sliced off
+on dequantization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .blocking import block, resolve_group, unblock
+from .formats import ElemFormat, format_params
+from .numerics import quantize_elemwise
+from .quantize import Quantizer, block_for, find_params_blocked
+
+# Positive FP4-E2M1 value grid, index == 3-bit magnitude code (exp<<1 | mant).
+FP4_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+
+
+@struct.dataclass
+class QTensor:
+    codes: jnp.ndarray                    # packed values (uint8 / int8 / fp8)
+    scales: jnp.ndarray                   # per-group scales (blocked shape)
+    zeros: Optional[jnp.ndarray]          # per-group zero points (or None)
+    quantizer: Quantizer = struct.field(pytree_node=False)
+    shape: tuple = struct.field(pytree_node=False)        # logical shape
+    blocked_shape: tuple = struct.field(pytree_node=False)
+    group_axis: int = struct.field(pytree_node=False)     # intra-group axis in blocked array
+    ngroups_axis: int = struct.field(pytree_node=False, default=0)  # n_groups axis in blocked array
+    dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.bfloat16)
+
+    @property
+    def fmt(self) -> ElemFormat:
+        return self.quantizer.fmt
+
+    @property
+    def nbytes(self) -> int:
+        n = self.codes.size * self.codes.dtype.itemsize + self.scales.size * self.scales.dtype.itemsize
+        if self.zeros is not None:
+            n += self.zeros.size * self.zeros.dtype.itemsize
+        return n
+
+
+def _pack_nibbles(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Pack int values in [0, 15] pairwise along ``axis`` into uint8."""
+    v = v.astype(jnp.uint8)
+    n = v.shape[axis]
+    assert n % 2 == 0, "group axis must be even to pack nibbles"
+    lo = jax.lax.slice_in_dim(v, 0, n, 2, axis=axis)
+    hi = jax.lax.slice_in_dim(v, 1, n, 2, axis=axis)
+    return lo | (hi << 4)
+
+
+def _unpack_nibbles(p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_nibbles` (interleaves low/high nibbles)."""
+    lo = p & jnp.uint8(0x0F)
+    hi = p >> 4
+    stacked = jnp.stack([lo, hi], axis=axis + 1 if axis >= 0 else p.ndim + axis + 1)
+    shape = list(p.shape)
+    ax = axis % p.ndim
+    shape[ax] *= 2
+    return stacked.reshape(shape)
+
+
+def _encode_fp4(x32: jnp.ndarray) -> jnp.ndarray:
+    """Encode already-quantized fp4 grid values into 4-bit codes (sign<<3|mag)."""
+    sign = (x32 < 0).astype(jnp.uint8)
+    mag = jnp.abs(x32)
+    # Index on the FP4 grid via thresholds (midpoints are exact halves).
+    grid = jnp.asarray(FP4_GRID, dtype=jnp.float32)
+    idx = jnp.sum((mag[..., None] >= grid[1:]).astype(jnp.uint8), axis=-1)
+    return (sign << 3) | idx
+
+
+def _decode_fp4(codes4: jnp.ndarray) -> jnp.ndarray:
+    """Decode 4-bit fp4 codes to f32 values. Branch-free arithmetic decode
+    (no gather — TPU-friendly): value = (mant/2 or +1) * 2**(exp-1)."""
+    c = codes4.astype(jnp.int32)
+    sign = jnp.where(c & 8 != 0, -1.0, 1.0)
+    exp = (c >> 1) & 3
+    mant = (c & 1).astype(jnp.float32)
+    sub = 0.5 * mant                                  # exp==0: {0, 0.5}
+    norm = (1.0 + 0.5 * mant) * jnp.exp2(exp.astype(jnp.float32) - 1.0)
+    return sign * jnp.where(exp == 0, sub, norm)
+
+
+def quantize_pack(q: Quantizer, x: jnp.ndarray, scales=None, zeros=None) -> QTensor:
+    """Quantize ``x`` into a packed :class:`QTensor`.
+
+    When ``scales`` is None the group parameters are solved from ``x``
+    (absmax / min-max / MSE-clip per the quantizer spec).
+    """
+    dtype = x.dtype
+    xb, meta, axes = block_for(q, x)
+    if meta is None:
+        raise NotImplementedError("per-tensor packing: use group_size=-1/-2/N")
+    if scales is None:
+        scales, zeros = find_params_blocked(q, xb, axes)
+    x32 = xb.astype(jnp.float32)
+    p = q.params
+    # position of the intra-group axis in the blocked array; the n_groups
+    # axis produced by block() always directly precedes it (blocking.py).
+    intra_axis = axes % xb.ndim
+
+    if q.qtype == "int":
+        qmax = float(p.int_max)
+        z = zeros if zeros is not None else 0.0
+        qv = jnp.clip(jnp.round(x32 / scales + z), -qmax, qmax)
+        if q.fmt == ElemFormat.int8:
+            codes = qv.astype(jnp.int8)
+        else:  # int4: bias by +8 into [1, 15] (code 8 == 0), pack nibbles
+            codes = _pack_nibbles((qv + 8.0).astype(jnp.uint8), intra_axis)
+    elif q.qtype in ("fp", "mx", "nvfp"):
+        z = zeros if zeros is not None else 0.0
+        scaled = (x32 - z) / scales
+        qv = quantize_elemwise(scaled, p, round="nearest", saturate_normals=True)
+        if q.fmt == ElemFormat.fp8_e4m3:
+            codes = qv.astype(jnp.float8_e4m3fn)
+        elif q.fmt == ElemFormat.fp8_e5m2:
+            codes = qv.astype(jnp.float8_e5m2)
+        elif q.fmt == ElemFormat.fp4_e2m1:
+            codes = _pack_nibbles(_encode_fp4(qv), intra_axis)
+        else:  # mx-int4/int8: integer grid in [-max_norm, max_norm] * 2**(mbits-2)
+            iv = qv * 2.0 ** (p.mbits - 2)
+            if q.fmt == ElemFormat.int8:
+                codes = iv.astype(jnp.int8)
+            else:
+                codes = _pack_nibbles((iv + 8.0).astype(jnp.uint8), intra_axis)
+    else:
+        raise ValueError(f"cannot pack qtype {q.qtype}")
+
+    return QTensor(
+        codes=codes,
+        scales=scales.astype(jnp.float32),
+        zeros=None if zeros is None or (q.qtype == "int" and not q.zero_point) else jnp.asarray(zeros, jnp.float32),
+        quantizer=q,
+        shape=tuple(x.shape),
+        blocked_shape=tuple(xb.shape),
+        group_axis=intra_axis,
+        ngroups_axis=meta.axis,
+        dtype=dtype,
+    )
+
+
+def dequantize(qt: QTensor) -> jnp.ndarray:
+    """XLA reference dequantization path (kernels fuse this into the matmul)."""
+    q = qt.quantizer
+    p = q.params
+    axes = q.eff_axes
+    intra = qt.group_axis
+
+    if q.qtype == "int":
+        if q.fmt == ElemFormat.int8:
+            qv = qt.codes.astype(jnp.float32)
+        else:
+            qv = _unpack_nibbles(qt.codes, intra).astype(jnp.float32) - 8.0
+        z = qt.zeros if qt.zeros is not None else 0.0
+        vals = (qv - z) * qt.scales
+    else:
+        if q.fmt in (ElemFormat.fp8_e4m3, ElemFormat.fp8_e5m2):
+            qv = qt.codes.astype(jnp.float32)
+        elif q.fmt == ElemFormat.fp4_e2m1:
+            qv = _decode_fp4(_unpack_nibbles(qt.codes, intra))
+        else:  # mx int grid
+            if q.fmt == ElemFormat.int8:
+                qv = qt.codes.astype(jnp.float32) / 2.0 ** (p.mbits - 2)
+            else:
+                qv = (_unpack_nibbles(qt.codes, intra).astype(jnp.float32) - 8.0) / 2.0 ** (p.mbits - 2)
+        z = qt.zeros if qt.zeros is not None else 0.0
+        vals = qv * qt.scales + z
+
+    # Unblock: merge (n_groups, group) and strip padding back to logical shape.
+    from .blocking import BlockMeta
+
+    meta = BlockMeta(
+        axis=qt.ngroups_axis,
+        orig_len=qt.shape[qt.ngroups_axis],
+        group=qt.blocked_shape[intra],
+        blocked_shape=qt.blocked_shape,
+    )
+    return unblock(vals.reshape(qt.blocked_shape), meta).astype(qt.dtype)
