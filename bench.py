@@ -1,0 +1,87 @@
+"""Benchmark: INT4-packed decode throughput on the flagship (Llama-3.2-1B
+shaped) model, single chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R}
+
+``value`` is decode tokens/sec/chip with int4-g128 packed weights executing
+through the fused Pallas dequant-matmul; ``vs_baseline`` is the speedup over
+the same model with dense bf16 weights (the reference publishes no
+throughput numbers — BASELINE.md — so bf16-on-the-same-hardware is the
+baseline).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_decode(params, cfg, steps=48, warmup=8, batch=8, prefill_len=128):
+    import jax
+    import jax.numpy as jnp
+
+    from llm_compressor_tpu.engine import decode_step, init_cache, prefill
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.vocab_size, (batch, prefill_len)).astype(np.int32)
+    cache = init_cache(cfg.num_layers, batch, prefill_len + steps + warmup + 2,
+                       cfg.num_kv_heads, cfg.head_dim, quantized=True)
+    logits, cache = prefill(params, jnp.asarray(toks), cache, cfg=cfg)
+    logits.block_until_ready()
+
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, 1)).astype(np.int32))
+    for _ in range(warmup):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg)
+    logits.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg)
+    logits.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    from llm_compressor_tpu.algorithms import pack_model, rtn
+    from llm_compressor_tpu.models import init_params
+    from llm_compressor_tpu.qformats import build_quant_config
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg(tiny=not on_tpu)
+    qcfg = build_quant_config("int4-g[128]-rw", None, None, None)
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    bf16_tps = _bench_decode(params, cfg)
+
+    rtn(params, cfg, qcfg)          # weights onto the int4 grid
+    pack_model(params, cfg, qcfg)   # real packed QTensors (Pallas path)
+    int4_tps = _bench_decode(params, cfg)
+
+    print(json.dumps({
+        "metric": "llama1b_int4g128_decode_tokens_per_sec_per_chip",
+        "value": round(int4_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(int4_tps / bf16_tps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(json.dumps({
+            "metric": "llama1b_int4g128_decode_tokens_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "tok/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.exit(0)

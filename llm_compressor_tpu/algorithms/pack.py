@@ -1,0 +1,33 @@
+"""Pack calibrated (fake-quantized) weights into real QTensors.
+
+After any calibration algorithm the linear weights are bf16 values sitting
+on their quantization grid. ``pack_model`` converts them to packed QTensor
+storage (int4 nibbles / int8 / fp8 bytes + group scales) so the serving
+path runs the fused Pallas dequant-matmul on real quantized weights.
+
+Repacking note: scales are re-derived with ``find_params`` on the
+grid-aligned weights. For symmetric absmax quantizers this is exact
+whenever a group's max code is saturated (the common case); MSE-clipped or
+heavily error-compensated groups can repack with sub-step error. Exact
+scale threading from calibration is tracked as a follow-up.
+"""
+
+from __future__ import annotations
+
+from ..models.config import ModelConfig
+from ..models.transformer import arch_slots
+from ..qformats.config import QuantConfig
+from ..qformats.qtensor import quantize_pack
+from .common import get_weight, set_weight, weight_quantizer_for
+
+
+def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig) -> None:
+    """Replace every quantizable linear weight with a packed QTensor
+    (in place). Weights whose quantizer is dummy stay dense."""
+    for i, lp in enumerate(params["layers"]):
+        for slot in arch_slots(cfg):
+            q = weight_quantizer_for(cfg, qcfg, i, slot, mse=False)
+            if q.qtype == "dummy":
+                continue
+            W = get_weight(lp, slot)
+            set_weight(lp, slot, quantize_pack(q, W))

@@ -1,0 +1,31 @@
+"""RTN — round-to-nearest weight quantization (no calibration data).
+
+Reference: llm_compressor/quantization/calibrations/rtn/core.py:17-60.
+Per linear: W <- fake_quantize(W) * (W != 0) — the sparsity-mask multiply
+preserves previously pruned zeros. The lm_head is quantized with the head
+config. Purely data-free, so it is a single vectorized pass.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..models.config import ModelConfig
+from ..models.transformer import arch_slots
+from ..qformats.config import QuantConfig
+from ..qformats.quantize import quantize_dequant
+from .common import get_weight, quantize_head_weight, set_weight, weight_quantizer_for
+
+
+def rtn(params, cfg: ModelConfig, qcfg: QuantConfig, mse: bool = False,
+        verbose: bool = True) -> None:
+    """Quantize all linear weights in place (params mutated)."""
+    for i, lp in enumerate(params["layers"]):
+        for slot in arch_slots(cfg):
+            q = weight_quantizer_for(cfg, qcfg, i, slot, mse)
+            if q.qtype == "dummy":
+                continue
+            W = get_weight(lp, slot)
+            mask = (W != 0).astype(W.dtype)
+            set_weight(lp, slot, quantize_dequant(q, W) * mask)
+    quantize_head_weight(params, qcfg, mse)

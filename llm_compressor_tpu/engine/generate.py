@@ -1,0 +1,236 @@
+"""Prefill / decode / sampling — the serving path.
+
+Functionally mirrors the reference's generation semantics (top-k filter,
+temperature softmax or argmax, EOS stop, chat template —
+models/base.py:266-328, utils/module.py:103-125) but executes TPU-natively:
+jitted prefill over the prompt and a jitted single-token decode step against
+a real (optionally int8-quantized) KV cache, instead of re-encoding a
+sliding window per token.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.layers import (
+    apply_norm,
+    apply_rope,
+    alibi_bias,
+    layer_norm,
+    qlinear,
+    rms_norm,
+    softcap,
+)
+from ..models.transformer import (
+    NEG_INF,
+    LayerOps,
+    embed,
+    head,
+    layer_ops,
+    mlp,
+    rope_for_layer,
+)
+from ..qformats.config import QuantConfig
+from .kvcache import KVCache, append, init_cache, read
+
+
+def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
+                      cache: KVCache, start, ops: Optional[LayerOps]):
+    """Attention for a (B, T, E) slice at absolute ``positions``, writing
+    K/V into the cache at ``start`` and attending over the whole cache."""
+    B, T, E = x.shape
+    ap = lp["attn"]
+    H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
+
+    if cfg.fused_qkv:
+        qkv = qlinear(x, ap["qkv"]["weight"], ap["qkv"].get("bias"), g("qkv"))
+        qkv = qkv.reshape(B, T, H, 3, D)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    else:
+        q = qlinear(x, ap["q"]["weight"], ap["q"].get("bias"), g("q")).reshape(B, T, H, D)
+        k = qlinear(x, ap["k"]["weight"], ap["k"].get("bias"), g("k")).reshape(B, T, KV, D)
+        v = qlinear(x, ap["v"]["weight"], ap["v"].get("bias"), g("v")).reshape(B, T, KV, D)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, ap["q_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_weight_plus_one)
+        k = rms_norm(k, ap["k_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_weight_plus_one)
+    elif cfg.qk_layernorm:
+        q = layer_norm(q, ap["q_norm"]["weight"], ap["q_norm"].get("bias"), cfg.rms_norm_eps)
+        k = layer_norm(k, ap["k_norm"]["weight"], ap["k_norm"].get("bias"), cfg.rms_norm_eps)
+
+    cos, sin = rope_for_layer(cfg, layer_idx, positions)
+    if cos is not None:
+        rot = cfg.rotary_dim
+        if rot < D:
+            q = jnp.concatenate([apply_rope(q[..., :rot], cos, sin), q[..., rot:]], axis=-1)
+            k = jnp.concatenate([apply_rope(k[..., :rot], cos, sin), k[..., rot:]], axis=-1)
+        else:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+    cache = append(cache, layer_idx, k, v, start)
+    K, V = read(cache, layer_idx, dtype=x.dtype)   # (B, S, KV, D)
+    S = K.shape[1]
+
+    if KV != H:
+        r = H // KV
+        K = jnp.broadcast_to(K[:, :, :, None, :], (B, S, KV, r, D)).reshape(B, S, H, D)
+        V = jnp.broadcast_to(V[:, :, :, None, :], (B, S, KV, r, D)).reshape(B, S, H, D)
+
+    q4 = q.transpose(0, 2, 1, 3)            # (B, H, T, D)
+    k4t = K.transpose(0, 2, 3, 1)           # (B, H, D, S)
+    v4 = V.transpose(0, 2, 1, 3)            # (B, H, S, D)
+
+    scale = cfg.attn_scale
+    if cfg.arch in ("opt", "bloom"):
+        q4 = q4 * jnp.asarray(scale, q4.dtype)
+        scores = jnp.einsum("bhtd,bhds->bhts", q4, k4t,
+                            preferred_element_type=jnp.float32)
+    else:
+        scores = jnp.einsum("bhtd,bhds->bhts", q4, k4t,
+                            preferred_element_type=jnp.float32) * scale
+
+    kv_pos = jnp.arange(S)
+    if cfg.pos_embedding == "alibi":
+        scores = scores + alibi_bias(H, kv_pos)[None, :, :, :]
+
+    scores = softcap(scores, cfg.attn_logit_softcapping)
+    qp = positions[:, None, :, None]        # (B, 1, T, 1)
+    kp = kv_pos[None, None, None, :]
+    keep = kp <= qp
+    if cfg.sliding_window is not None and cfg.layer_type(layer_idx) == "sliding_attention":
+        keep &= kp > qp - cfg.sliding_window
+    scores = scores + jnp.where(keep, 0.0, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v4,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o")), cache
+
+
+def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
+                  start, ops):
+    if cfg.parallel_residual:
+        normed = apply_norm(cfg, x, lp["ln1"])
+        a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions, cache, start, ops)
+        m = mlp(lp, cfg, normed, ops)
+        return x + a + m, cache
+
+    if cfg.do_layer_norm_before:
+        normed = apply_norm(cfg, x, lp["ln1"])
+        a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions, cache, start, ops)
+    else:
+        a, cache = _cached_attention(lp, cfg, layer_idx, x, positions, cache, start, ops)
+    if cfg.post_attn_residual_norm:
+        a = apply_norm(cfg, a, lp["post_attn_norm"])
+    x = x + a
+    if not cfg.do_layer_norm_before:
+        x = apply_norm(cfg, x, lp["ln1"])
+
+    if cfg.pre_post_ffw_norm:
+        m = mlp(lp, cfg, apply_norm(cfg, x, lp["pre_ffw_norm"]), ops)
+        m = apply_norm(cfg, m, lp["post_ffw_norm"])
+        x = x + m
+    else:
+        if cfg.do_layer_norm_before:
+            x = x + mlp(lp, cfg, apply_norm(cfg, x, lp["ln2"]), ops)
+        else:
+            x = apply_norm(cfg, x + mlp(lp, cfg, x, ops), lp["ln2"])
+    return x, cache
+
+
+def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
+                    qcfg: Optional[QuantConfig]):
+    B, T = tokens.shape
+    positions = start + jnp.arange(T)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+    h = embed(params, cfg, tokens, positions)
+    for i, lp in enumerate(params["layers"]):
+        h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
+                                 layer_ops(cfg, qcfg, i))
+    logits = head(params, cfg, h, qcfg)
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "qcfg"))
+def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
+            qcfg: Optional[QuantConfig] = None):
+    """Encode the prompt; returns (last-position logits (B, V), cache)."""
+    logits, cache = _forward_cached(params, cfg, tokens, cache, jnp.int32(0), qcfg)
+    cache = cache.replace(length=jnp.int32(tokens.shape[1]))
+    return logits[:, -1, :], cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "qcfg"))
+def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
+                qcfg: Optional[QuantConfig] = None):
+    """One token (B, 1) -> (logits (B, V), cache)."""
+    logits, cache = _forward_cached(params, cfg, token, cache, cache.length, qcfg)
+    cache = cache.replace(length=cache.length + 1)
+    return logits[:, -1, :], cache
+
+
+def _sample(logits, temperature: float, top_k: Optional[int], key):
+    """Reference sampling semantics (models/base.py:289-313)."""
+    if top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if temperature > 0.0:
+        return jax.random.categorical(key, logits / temperature, axis=-1)
+    return jnp.argmax(logits, axis=-1)
+
+
+def generate(params, cfg: ModelConfig, prompt_tokens: np.ndarray,
+             max_new_tokens: int = 100, temperature: float = 0.0,
+             top_k: Optional[int] = None, eos_id: Optional[int] = None,
+             qcfg: Optional[QuantConfig] = None, quantized_kv: bool = False,
+             max_len: Optional[int] = None, seed: int = 0) -> np.ndarray:
+    """Autoregressive generation with a real KV cache. Returns the full
+    token sequence (prompt + generated) as (B, T_out)."""
+    B, T = prompt_tokens.shape
+    max_len = max_len or (T + max_new_tokens)
+    cache = init_cache(cfg.num_layers, B, max_len, cfg.num_kv_heads, cfg.head_dim,
+                       quantized=quantized_kv)
+    key = jax.random.PRNGKey(seed)
+    logits, cache = prefill(params, jnp.asarray(prompt_tokens), cache, cfg=cfg, qcfg=qcfg)
+    out = [np.asarray(prompt_tokens)]
+    for _ in range(max_new_tokens):
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, temperature, top_k, sub)
+        nxt_np = np.asarray(nxt)
+        if eos_id is not None and int(nxt_np[0]) == eos_id:
+            break
+        out.append(nxt_np[:, None])
+        logits, cache = decode_step(params, nxt[:, None], cache, cfg=cfg, qcfg=qcfg)
+    return np.concatenate(out, axis=1)
+
+
+CHAT_TEMPLATE = """Below is an instruction that describes a task.
+Write a response that appropriately completes the request.
+
+### Instruction:
+{message}
+"""
+
+
+def generate_text(params, cfg: ModelConfig, tokenizer, prompt: str,
+                  max_new_tokens: int = 100, temperature: float = 0.0,
+                  top_k: Optional[int] = None, qcfg: Optional[QuantConfig] = None,
+                  quantized_kv: bool = False, use_chat_template: bool = True) -> str:
+    """Chat-templated text generation (reference tinychat path)."""
+    text = CHAT_TEMPLATE.format(message=prompt) if use_chat_template else prompt
+    ids = np.asarray([tokenizer.encode(text)], dtype=np.int32)
+    out = generate(params, cfg, ids, max_new_tokens=max_new_tokens,
+                   temperature=temperature, top_k=top_k,
+                   eos_id=tokenizer.eos_token_id, qcfg=qcfg,
+                   quantized_kv=quantized_kv)
+    full = tokenizer.decode(out[0].tolist(), skip_special_tokens=True)
+    return full[len(text):].replace("### Response:", "").strip()

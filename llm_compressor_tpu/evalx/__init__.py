@@ -1,0 +1,10 @@
+"""evalx — perplexity evaluation, sparsity check, per-op profiling.
+
+TPU re-design of the reference evaluation stack (SURVEY.md §2.6, §5.1).
+"""
+
+from .ppl import compute_ppl, evaluate
+from .profiler import profile_model
+from .sparsity import check_sparsity
+
+__all__ = ["compute_ppl", "evaluate", "check_sparsity", "profile_model"]

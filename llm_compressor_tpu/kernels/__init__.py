@@ -1,0 +1,9 @@
+"""kernels — Pallas TPU kernels for the quantized execution hot path.
+
+Each kernel ships with an XLA reference implementation used for numerics
+tests and as a fallback on unsupported shapes/platforms.
+"""
+
+from .dequant_matmul import dequant_matmul, dequant_matmul_xla
+
+__all__ = ["dequant_matmul", "dequant_matmul_xla"]

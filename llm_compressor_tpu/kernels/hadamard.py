@@ -1,0 +1,219 @@
+"""Fast Walsh-Hadamard transform — XLA path + Pallas TPU kernel.
+
+TPU-native counterpart of the reference's vendored CUDA extension
+(reference third_party/fast-hadamard-transform/csrc/*.cu and the fallback
+matmul_hadU, spinquant/hadamard_utils.py:88-132): y = x H_n / sqrt(n) where
+n = 2^k * K and H_n = H_K (kron) H_{2^k}. The power-of-two part is a
+Sylvester butterfly; the non-power-of-two base H_K (K in {12, 20, 36, 44})
+is CONSTRUCTED here via Paley I/II over GF(p) — a mathematical object, not
+a table copy (the reference embeds ~99K generated lines of literals).
+
+The Pallas kernel runs the butterfly stages in VMEM (one HBM round trip for
+the whole transform — the memcpy-bound regime the reference benchmarks its
+CUDA kernel against).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Paley constructions for non-power-of-two base sizes
+# ---------------------------------------------------------------------------
+
+
+def _quadratic_residues(p: int) -> np.ndarray:
+    r = np.zeros(p, dtype=np.int64)
+    r[np.unique((np.arange(1, p) ** 2) % p)] = 1
+    return r
+
+
+def _jacobsthal(p: int) -> np.ndarray:
+    """Q[i, j] = chi(i - j) with chi the quadratic character mod p."""
+    chi = np.zeros(p, dtype=np.int64)
+    qr = _quadratic_residues(p)
+    for a in range(1, p):
+        chi[a] = 1 if qr[a] else -1
+    idx = (np.arange(p)[:, None] - np.arange(p)[None, :]) % p
+    return chi[idx]
+
+
+def _paley1(p: int) -> np.ndarray:
+    """Hadamard matrix of order p+1 for prime p = 3 (mod 4):
+    H = I + S with the skew core S = [[0, e^T], [-e, Q]]."""
+    assert p % 4 == 3
+    Q = _jacobsthal(p)
+    n = p + 1
+    H = np.ones((n, n), dtype=np.int64)
+    H[1:, 1:] = Q + np.eye(p, dtype=np.int64)
+    H[1:, 0] = -1
+    return H
+
+
+def _paley2(p: int) -> np.ndarray:
+    """Hadamard matrix of order 2(p+1) for prime p = 1 (mod 4)."""
+    assert p % 4 == 1
+    Q = _jacobsthal(p)
+    m = p + 1
+    S = np.zeros((m, m), dtype=np.int64)
+    S[0, 1:] = 1
+    S[1:, 0] = 1
+    S[1:, 1:] = Q
+    # Paley II block rule: S_ij=0 -> [[1,-1],[-1,-1]], else S_ij*[[1,1],[1,-1]]
+    H = np.zeros((2 * m, 2 * m), dtype=np.int64)
+    Z = np.array([[1, -1], [-1, -1]])
+    P = np.array([[1, 1], [1, -1]])
+    for i in range(m):
+        for j in range(m):
+            H[2 * i : 2 * i + 2, 2 * j : 2 * j + 2] = Z if S[i, j] == 0 else S[i, j] * P
+    return H
+
+
+@lru_cache(maxsize=None)
+def base_hadamard(K: int) -> np.ndarray:
+    """Base Hadamard matrix of non-power-of-two order K (verified)."""
+    if K == 1:
+        H = np.ones((1, 1), dtype=np.int64)
+    elif K == 12:
+        H = _paley1(11)
+    elif K == 20:
+        H = _paley1(19)
+    elif K == 44:
+        H = _paley1(43)
+    elif K == 36:
+        H = _paley2(17)
+    else:
+        raise ValueError(f"No Hadamard base construction for K={K}")
+    assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64)), K
+    return H
+
+
+def decompose(n: int) -> tuple[int, int]:
+    """n = 2^k * K for a supported base K. Returns (K, 2^k)."""
+
+    def _is_pow2(v):
+        return v > 0 and (v & (v - 1)) == 0
+
+    for K in (1, 12, 20, 36, 44):
+        if n % K == 0 and _is_pow2(n // K):
+            return K, n // K
+    raise ValueError(f"Hadamard size {n} unsupported "
+                     "(need n = 2^k * K, K in {{1, 12, 20, 36, 44}})")
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+
+def _fht_pow2(x: jnp.ndarray) -> jnp.ndarray:
+    """Sylvester butterfly along the last axis (length power of two):
+    one (..., n/2h, 2, h) reshape + add/sub per stage."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    h = 1
+    while h < n:
+        x = x.reshape(*lead, n // (2 * h), 2, h)
+        a = x[..., 0, :]
+        b = x[..., 1, :]
+        x = jnp.stack([a + b, a - b], axis=-2).reshape(*lead, n)
+        h *= 2
+    return x
+
+
+def hadamard_transform(x: jnp.ndarray, scale: float | None = None) -> jnp.ndarray:
+    """y = x H_n * scale along the last axis (default scale 1/sqrt(n))."""
+    n = x.shape[-1]
+    K, m = decompose(n)
+    dtype = x.dtype
+    out = x.astype(jnp.float32)
+    if m > 1:
+        out = out.reshape(*x.shape[:-1], K, m)
+        out = _fht_pow2(out)
+        if K > 1:
+            Hk = jnp.asarray(base_hadamard(K), dtype=jnp.float32)
+            out = jnp.einsum("kl,...lm->...km", Hk, out)
+        out = out.reshape(*x.shape)
+    elif K > 1:
+        Hk = jnp.asarray(base_hadamard(K), dtype=jnp.float32)
+        out = out @ Hk.T
+    s = (1.0 / np.sqrt(n)) if scale is None else scale
+    return (out * s).astype(dtype)
+
+
+def hadamard_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Orthonormal H_n / sqrt(n) as an explicit matrix."""
+    return hadamard_transform(jnp.eye(n, dtype=dtype))
+
+
+def random_hadamard_matrix(n: int, key) -> jnp.ndarray:
+    """Randomized orthonormal Hadamard: H diag(+-1) / sqrt(n)
+    (reference rotation_utils.py:40-45, QuIP# construction)."""
+    signs = jax.random.rademacher(key, (n,), dtype=jnp.float32)
+    return hadamard_transform(jnp.diag(signs))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel — whole transform in VMEM, one HBM round trip
+# ---------------------------------------------------------------------------
+
+
+def _fht_kernel(hk_ref, x_ref, out_ref, *, n: int, K: int, scale: float):
+    x = x_ref[...].astype(jnp.float32)   # (TB, n)
+    m = n // K
+    tb = x.shape[0]
+    if m > 1:
+        x = x.reshape(tb * K, m) if K > 1 else x
+        h = 1
+        while h < m:
+            x = x.reshape(-1, m // (2 * h), 2, h)
+            a = x[..., 0, :]
+            b = x[..., 1, :]
+            x = jnp.stack([a + b, a - b], axis=-2)
+            h *= 2
+        x = x.reshape(tb, K, m) if K > 1 else x.reshape(tb, n)
+    if K > 1:
+        Hk = hk_ref[...]
+        x = jax.lax.dot_general(
+            x.reshape(tb, K, m).transpose(0, 2, 1).reshape(tb * m, K), Hk.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(tb, m, K).transpose(0, 2, 1).reshape(tb, n)
+    out_ref[...] = (x * scale).astype(out_ref.dtype)
+
+
+def hadamard_transform_pallas(x: jnp.ndarray, scale: float | None = None,
+                              block_rows: int = 256) -> jnp.ndarray:
+    """Pallas FHT over the last axis; rows are tiled over the grid."""
+    n = x.shape[-1]
+    K, m = decompose(n)
+    s = float(1.0 / np.sqrt(n)) if scale is None else float(scale)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, n)
+    B = x2.shape[0]
+    TB = min(block_rows, max(8, B))
+    pad = (-B) % TB
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    Hk = jnp.asarray(base_hadamard(max(K, 1)), dtype=jnp.float32)
+    out = pl.pallas_call(
+        partial(_fht_kernel, n=n, K=K, scale=s),
+        grid=(x2.shape[0] // TB,),
+        in_specs=[
+            pl.BlockSpec((max(K, 1), max(K, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        interpret=interpret,
+    )(Hk, x2)
+    return out[:B].reshape(*lead, n)

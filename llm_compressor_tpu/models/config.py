@@ -172,7 +172,7 @@ def from_hf_config(hf) -> ModelConfig:
             num_kv_heads=get("num_key_value_heads", heads),
             head_dim=get("head_dim") or hidden // heads,
             max_position_embeddings=get("max_position_embeddings", 8192),
-            hidden_act=get("hidden_activation", get("hidden_act", "gelu_pytorch_tanh")),
+            hidden_act=(get("hidden_activation") or get("hidden_act") or "gelu_pytorch_tanh"),
             rms_norm_eps=get("rms_norm_eps", 1e-6),
             norm_weight_plus_one=True,
             rope_theta=get("rope_theta", 10000.0),
@@ -204,6 +204,7 @@ def from_hf_config(hf) -> ModelConfig:
             max_position_embeddings=get("max_position_embeddings", 2048),
             hidden_act=get("activation_function", "relu"),
             norm_type="layernorm",
+            rms_norm_eps=1e-5,  # nn.LayerNorm default (HF OPT hardcodes it)
             mlp_style="mlp",
             pos_embedding="learned",
             learned_pos_offset=2,
@@ -229,6 +230,7 @@ def from_hf_config(hf) -> ModelConfig:
             head_dim=hidden // heads,
             hidden_act="gelu_tanh",
             norm_type="layernorm",
+            rms_norm_eps=get("layer_norm_epsilon", 1e-5),
             mlp_style="mlp",
             pos_embedding="alibi",
             attention_bias=True,
@@ -253,6 +255,7 @@ def from_hf_config(hf) -> ModelConfig:
             max_position_embeddings=get("max_position_embeddings", 2048),
             hidden_act=get("hidden_act", "gelu_new"),
             norm_type="layernorm",
+            rms_norm_eps=get("layer_norm_eps", 1e-5),
             mlp_style="mlp",
             rope_theta=get("rope_theta", 10000.0),
             partial_rotary_factor=get("partial_rotary_factor", 0.5),

@@ -171,11 +171,15 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None):
     if op is not None:
         x = maybe_quant(op.act_in, x)
     if isinstance(weight, QTensor):
-        w = dequantize(weight)
-    else:
-        w = weight
+        # packed execution: fused Pallas dequant-matmul (XLA fallback inside)
+        from ..kernels.dequant_matmul import dequant_matmul
+
+        y = dequant_matmul(x, weight, bias)
+        if op is not None:
+            y = maybe_quant(op.act_out, y)
+        return y
     y = jax.lax.dot_general(
-        x, w,
+        x, weight,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)

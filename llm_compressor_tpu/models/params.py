@@ -249,6 +249,71 @@ def load_params_from_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> 
     return params
 
 
+def save_compressed(params, cfg: ModelConfig, path: "str | Path",
+                    hf_config: Optional[dict] = None,
+                    tokenizer_path: Optional[str] = None) -> None:
+    """Write an HF-style checkpoint of the compressed model
+    (reference save_compressed, models/llama.py:210-230).
+
+    Fake-quantized / pruned weights export as a standard safetensors state
+    dict under the original HF parameter names, so the result loads
+    directly into ``transformers`` or back into this framework. Packed
+    QTensor weights are dequantized for the HF export (a native packed
+    format ships alongside as packed.npz: codes/scales/zeros per op).
+    """
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from ..qformats.qtensor import QTensor, dequantize
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+
+    sd: Dict[str, np.ndarray] = {}
+    packed: Dict[str, np.ndarray] = {}
+
+    def emit(hf_name, node):
+        for leaf in ("weight", "bias"):
+            if leaf in node:
+                v = node[leaf]
+                if isinstance(v, QTensor):
+                    packed[f"{hf_name}.{leaf}.codes"] = np.asarray(v.codes)
+                    packed[f"{hf_name}.{leaf}.scales"] = np.asarray(v.scales)
+                    if v.zeros is not None:
+                        packed[f"{hf_name}.{leaf}.zeros"] = np.asarray(v.zeros)
+                    v = dequantize(v)
+                sd[f"{hf_name}.{leaf}"] = np.asarray(v.astype(jnp.float32)).astype(np.float32)
+
+    def walk(mapping, tree):
+        for hf_name, p in mapping.items():
+            node = tree
+            ok = True
+            for k in p:
+                if k not in node:
+                    ok = False
+                    break
+                node = node[k]
+            if ok:
+                emit(hf_name, node)
+
+    walk(_hf_top_map(cfg), params)
+    for i in range(cfg.num_layers):
+        walk(_hf_key_map(cfg, i), params["layers"][i])
+
+    save_file(sd, str(path / "model.safetensors"))
+    if packed:
+        np.savez(path / "packed.npz", **packed)
+    if hf_config is not None:
+        (path / "config.json").write_text(json.dumps(hf_config, indent=2))
+    if tokenizer_path is not None:
+        try:
+            from transformers import AutoTokenizer
+
+            AutoTokenizer.from_pretrained(tokenizer_path).save_pretrained(str(path))
+        except Exception:
+            pass
+
+
 def load_hf_checkpoint(path: "str | Path", dtype: Optional[str] = None):
     """Load (cfg, params) from a local HF checkpoint directory."""
     from safetensors.numpy import load_file

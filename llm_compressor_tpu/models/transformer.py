@@ -9,17 +9,28 @@ see SURVEY.md §2.5). Pure functions over a params pytree:
     head()           hidden -> logits            (final norm + lm_head)
     forward()        the full model
 
-Quantization is threaded through via a static
-:class:`~llm_compressor_tpu.qformats.QuantConfig`: activation quantizers run
-in-graph (dynamic scales per batch — no recompilation), weights are whatever
-calibration left in the params (bf16, fake-quantized bf16, or packed
-QTensor). Op names follow the reference's module names
+Quantization is threaded through as a static, hashable :class:`LayerOps` —
+the per-layer resolution of a :class:`~llm_compressor_tpu.qformats.
+QuantConfig` (including mixed-precision overrides). Because LayerOps is a
+static jit argument that is *equal across layers* when no per-layer override
+exists, layer-by-layer calibration compiles one layer function and reuses it
+for the whole stack. Activation quantizers run in-graph (dynamic scales per
+batch — no recompilation); weights are whatever calibration left in the
+params (bf16, fake-quantized bf16, or packed QTensor).
+
+The ``taps`` dict replaces torch forward hooks: pass a dict and the forward
+records each linear's *input* activation under its slot name ("attn_in",
+"o_in", "mlp_in", "down_in") — the capture mechanism used by GPTQ / AWQ /
+SmoothQuant / Wanda calibration (reference hooks: gptq/core.py:103-127).
+
+Op names follow the reference's torch module names
 ("layers.3.self_attn.q_proj", "transformer.h.0.self_attention.dense", …) so
 mixed-precision overrides and profiling output are interchangeable.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 import jax
@@ -45,6 +56,19 @@ from .layers import (
 Params = Dict[str, Any]
 
 NEG_INF = -1e9  # large-negative mask additive (softmax runs in f32)
+
+# Linear slots per architecture family (order = reference find_layers order)
+_SLOTS = {
+    "gated": ("q", "k", "v", "o", "gate", "up", "down"),
+    "mlp": ("q", "k", "v", "o", "fc1", "fc2"),
+    "fused": ("qkv", "o", "fc1", "fc2"),
+}
+
+
+def arch_slots(cfg: ModelConfig) -> tuple:
+    if cfg.fused_qkv:
+        return _SLOTS["fused"]
+    return _SLOTS[cfg.mlp_style]
 
 
 # ---------------------------------------------------------------------------
@@ -90,10 +114,44 @@ def op_names(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
     raise ValueError(cfg.arch)
 
 
-def _op(qcfg: Optional[QuantConfig], name: str, op_class: str = "linear") -> Optional[OpQuantConfig]:
+@dataclass(frozen=True)
+class LayerOps:
+    """Static per-layer quantizer resolution (hashable jit argument).
+
+    ``linears`` maps slot name -> OpQuantConfig for every linear in the
+    layer; ``qk``/``sv`` are the attention matmul slots. Identical across
+    layers unless mixed-precision overrides name a specific op — so the
+    jitted layer function caches across the whole stack.
+    """
+
+    linears: tuple  # tuple[(slot, OpQuantConfig), ...]
+    qk: Optional[OpQuantConfig] = None
+    sv: Optional[OpQuantConfig] = None
+
+    def get(self, slot: str) -> Optional[OpQuantConfig]:
+        for s, op in self.linears:
+            if s == slot:
+                return op
+        return None
+
+
+def layer_ops(cfg: ModelConfig, qcfg: Optional[QuantConfig], layer_idx: int) -> Optional[LayerOps]:
     if qcfg is None:
         return None
-    return qcfg.for_op(name, op_class)
+    names = op_names(cfg, layer_idx)
+    linears = tuple(
+        (slot, qcfg.for_op(names[slot], "linear")) for slot in arch_slots(cfg)
+    )
+    return LayerOps(
+        linears=linears,
+        qk=qcfg.for_op(names["qk"], "matmul"),
+        sv=qcfg.for_op(names["sv"], "matmul"),
+    )
+
+
+def _tap(taps, key, value):
+    if taps is not None:
+        taps[key] = value
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +191,8 @@ def head(params: Params, cfg: ModelConfig, h: jnp.ndarray,
         b = None
     else:
         w, b = lm["weight"], lm.get("bias")
-    logits = qlinear(h, w, b, _op(qcfg, "lm_head", "head"))
+    op = qcfg.for_op("lm_head", "head") if qcfg is not None else None
+    logits = qlinear(h, w, b, op)
     logits = softcap(logits.astype(jnp.float32), cfg.final_logit_softcapping)
     return logits
 
@@ -156,11 +215,11 @@ def make_causal_mask(cfg: ModelConfig, layer_idx: int, q_positions, kv_positions
 def attention(
     layer_params: Params,
     cfg: ModelConfig,
-    layer_idx: int,
     x: jnp.ndarray,
     cos, sin,
     mask: jnp.ndarray,
-    qcfg: Optional[QuantConfig] = None,
+    ops: Optional[LayerOps] = None,
+    taps: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Multi-head attention with GQA, rope/alibi, q/k-norm, softcapping.
 
@@ -168,18 +227,19 @@ def attention(
     including where the QK^T / SV activation quantizers sit.
     """
     B, T, E = x.shape
-    names = op_names(cfg, layer_idx)
     ap = layer_params["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
 
+    _tap(taps, "attn_in", x)
     if cfg.fused_qkv:
-        qkv = qlinear(x, ap["qkv"]["weight"], ap["qkv"].get("bias"), _op(qcfg, names["qkv"]))
+        qkv = qlinear(x, ap["qkv"]["weight"], ap["qkv"].get("bias"), g("qkv"))
         qkv = qkv.reshape(B, T, H, 3, D)  # BLOOM interleave: [head, (q,k,v), dim]
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
     else:
-        q = qlinear(x, ap["q"]["weight"], ap["q"].get("bias"), _op(qcfg, names["q"])).reshape(B, T, H, D)
-        k = qlinear(x, ap["k"]["weight"], ap["k"].get("bias"), _op(qcfg, names["k"])).reshape(B, T, KV, D)
-        v = qlinear(x, ap["v"]["weight"], ap["v"].get("bias"), _op(qcfg, names["v"])).reshape(B, T, KV, D)
+        q = qlinear(x, ap["q"]["weight"], ap["q"].get("bias"), g("q")).reshape(B, T, H, D)
+        k = qlinear(x, ap["k"]["weight"], ap["k"].get("bias"), g("k")).reshape(B, T, KV, D)
+        v = qlinear(x, ap["v"]["weight"], ap["v"].get("bias"), g("v")).reshape(B, T, KV, D)
 
     if cfg.qk_norm:  # per-head-dim RMS norm (qwen3 plain, gemma3 plus-one)
         q = rms_norm(q, ap["q_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_weight_plus_one)
@@ -199,22 +259,28 @@ def attention(
 
     # GQA: broadcast KV heads to query heads
     if KV != H:
-        g = H // KV
-        k = jnp.broadcast_to(k[:, :, :, None, :], (B, T, KV, g, D)).reshape(B, T, H, D)
-        v = jnp.broadcast_to(v[:, :, :, None, :], (B, T, KV, g, D)).reshape(B, T, H, D)
+        r = H // KV
+        k = jnp.broadcast_to(k[:, :, :, None, :], (B, T, KV, r, D)).reshape(B, T, H, D)
+        v = jnp.broadcast_to(v[:, :, :, None, :], (B, T, KV, r, D)).reshape(B, T, H, D)
 
     q4 = q.transpose(0, 2, 1, 3)              # (B, H, T, D)
     k4t = k.transpose(0, 2, 3, 1)             # (B, H, D, S)
     v4 = v.transpose(0, 2, 1, 3)              # (B, H, S, D)
 
     scale = cfg.attn_scale
+    qk_op = ops.qk if ops is not None else None
+    sv_op = ops.sv if ops is not None else None
     if cfg.arch in ("opt", "bloom"):
         # OPT/BLOOM pre-scale the query before the quantized matmul
         # (reference models/opt.py:113, bloom.py:66-108)
         q4 = q4 * jnp.asarray(scale, q4.dtype)
-        scores = qmatmul_qk(q4, k4t, _op(qcfg, names["qk"], "matmul"))
+        _tap(taps, "qk_in1", q4)
+        _tap(taps, "qk_in2", k4t)
+        scores = qmatmul_qk(q4, k4t, qk_op)
     else:
-        scores = qmatmul_qk(q4, k4t, _op(qcfg, names["qk"], "matmul")) * scale
+        _tap(taps, "qk_in1", q4)
+        _tap(taps, "qk_in2", k4t)
+        scores = qmatmul_qk(q4, k4t, qk_op) * scale
 
     if cfg.pos_embedding == "alibi":
         kv_pos = jnp.arange(k4t.shape[-1])
@@ -224,9 +290,12 @@ def attention(
     scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
 
-    out = qmatmul_sv(probs, v4, _op(qcfg, names["sv"], "matmul")).astype(x.dtype)
+    _tap(taps, "sv_in1", probs)
+    _tap(taps, "sv_in2", v4)
+    out = qmatmul_sv(probs, v4, sv_op).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
-    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), _op(qcfg, names["o"]))
+    _tap(taps, "o_in", out)
+    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"))
 
 
 # ---------------------------------------------------------------------------
@@ -234,18 +303,21 @@ def attention(
 # ---------------------------------------------------------------------------
 
 
-def mlp(layer_params: Params, cfg: ModelConfig, layer_idx: int, x,
-        qcfg: Optional[QuantConfig] = None):
-    names = op_names(cfg, layer_idx)
+def mlp(layer_params: Params, cfg: ModelConfig, x,
+        ops: Optional[LayerOps] = None, taps: Optional[dict] = None):
     mp = layer_params["mlp"]
+    g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
+    _tap(taps, "mlp_in", x)
     if cfg.mlp_style == "gated":
-        g = qlinear(x, mp["gate"]["weight"], mp["gate"].get("bias"), _op(qcfg, names["gate"]))
-        u = qlinear(x, mp["up"]["weight"], mp["up"].get("bias"), _op(qcfg, names["up"]))
-        return qlinear(activation(cfg.hidden_act, g) * u, mp["down"]["weight"],
-                       mp["down"].get("bias"), _op(qcfg, names["down"]))
-    h = qlinear(x, mp["fc1"]["weight"], mp["fc1"].get("bias"), _op(qcfg, names["fc1"]))
+        gt = qlinear(x, mp["gate"]["weight"], mp["gate"].get("bias"), g("gate"))
+        u = qlinear(x, mp["up"]["weight"], mp["up"].get("bias"), g("up"))
+        h = activation(cfg.hidden_act, gt) * u
+        _tap(taps, "down_in", h)
+        return qlinear(h, mp["down"]["weight"], mp["down"].get("bias"), g("down"))
+    h = qlinear(x, mp["fc1"]["weight"], mp["fc1"].get("bias"), g("fc1"))
     h = activation(cfg.hidden_act, h)
-    return qlinear(h, mp["fc2"]["weight"], mp["fc2"].get("bias"), _op(qcfg, names["fc2"]))
+    _tap(taps, "down_in", h)
+    return qlinear(h, mp["fc2"]["weight"], mp["fc2"].get("bias"), g("fc2"))
 
 
 # ---------------------------------------------------------------------------
@@ -256,24 +328,24 @@ def mlp(layer_params: Params, cfg: ModelConfig, layer_idx: int, x,
 def decoder_layer(
     layer_params: Params,
     cfg: ModelConfig,
-    layer_idx: int,
     x: jnp.ndarray,
     cos, sin,
     mask: jnp.ndarray,
-    qcfg: Optional[QuantConfig] = None,
+    ops: Optional[LayerOps] = None,
+    taps: Optional[dict] = None,
 ) -> jnp.ndarray:
     """One decoder block — the unit of layer-by-layer calibration."""
     if cfg.parallel_residual:  # phi: one shared input norm, attn + mlp in parallel
         normed = apply_norm(cfg, x, layer_params["ln1"])
-        a = attention(layer_params, cfg, layer_idx, normed, cos, sin, mask, qcfg)
-        m = mlp(layer_params, cfg, layer_idx, normed, qcfg)
+        a = attention(layer_params, cfg, normed, cos, sin, mask, ops, taps)
+        m = mlp(layer_params, cfg, normed, ops, taps)
         return x + a + m
 
     if cfg.do_layer_norm_before:
         normed = apply_norm(cfg, x, layer_params["ln1"])
-        a = attention(layer_params, cfg, layer_idx, normed, cos, sin, mask, qcfg)
+        a = attention(layer_params, cfg, normed, cos, sin, mask, ops, taps)
     else:  # OPT-350M post-norm
-        a = attention(layer_params, cfg, layer_idx, x, cos, sin, mask, qcfg)
+        a = attention(layer_params, cfg, x, cos, sin, mask, ops, taps)
     if cfg.post_attn_residual_norm:  # gemma2/3
         a = apply_norm(cfg, a, layer_params["post_attn_norm"])
     x = x + a
@@ -281,15 +353,15 @@ def decoder_layer(
         x = apply_norm(cfg, x, layer_params["ln1"])
 
     if cfg.pre_post_ffw_norm:  # gemma2/3: pre + post feedforward norms
-        m = mlp(layer_params, cfg, layer_idx, apply_norm(cfg, x, layer_params["pre_ffw_norm"]), qcfg)
+        m = mlp(layer_params, cfg, apply_norm(cfg, x, layer_params["pre_ffw_norm"]), ops, taps)
         m = apply_norm(cfg, m, layer_params["post_ffw_norm"])
         x = x + m
     else:
         if cfg.do_layer_norm_before:
-            m = mlp(layer_params, cfg, layer_idx, apply_norm(cfg, x, layer_params["ln2"]), qcfg)
+            m = mlp(layer_params, cfg, apply_norm(cfg, x, layer_params["ln2"]), ops, taps)
             x = x + m
         else:
-            m = mlp(layer_params, cfg, layer_idx, x, qcfg)
+            m = mlp(layer_params, cfg, x, ops, taps)
             x = apply_norm(cfg, x + m, layer_params["ln2"])
     return x
 
@@ -318,7 +390,7 @@ def forward_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     for i, lp in enumerate(params["layers"]):
         cos, sin = rope_for_layer(cfg, i, positions)
         mask = make_causal_mask(cfg, i, positions, positions)
-        h = decoder_layer(lp, cfg, i, h, cos, sin, mask, qcfg)
+        h = decoder_layer(lp, cfg, h, cos, sin, mask, layer_ops(cfg, qcfg, i))
     return h
 
 

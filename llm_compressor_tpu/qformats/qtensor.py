@@ -66,24 +66,27 @@ class QTensor:
 
 
 def _pack_nibbles(v: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Pack int values in [0, 15] pairwise along ``axis`` into uint8."""
+    """Pack int values in [0, 15] into uint8, two per byte.
+
+    Kernel-friendly "group halves" layout: byte i of a group holds elements
+    (i, i + g/2) — low nibble = first half, high nibble = second half. A
+    Pallas kernel then unpacks with two mask/shift ops and ONE concatenate
+    along the lane dimension (no stride-2 interleave, which would fight the
+    TPU lane layout).
+    """
     v = v.astype(jnp.uint8)
     n = v.shape[axis]
     assert n % 2 == 0, "group axis must be even to pack nibbles"
-    lo = jax.lax.slice_in_dim(v, 0, n, 2, axis=axis)
-    hi = jax.lax.slice_in_dim(v, 1, n, 2, axis=axis)
+    lo = jax.lax.slice_in_dim(v, 0, n // 2, axis=axis)
+    hi = jax.lax.slice_in_dim(v, n // 2, n, axis=axis)
     return lo | (hi << 4)
 
 
 def _unpack_nibbles(p: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Inverse of :func:`_pack_nibbles` (interleaves low/high nibbles)."""
+    """Inverse of :func:`_pack_nibbles` (concatenates the group halves)."""
     lo = p & jnp.uint8(0x0F)
     hi = p >> 4
-    stacked = jnp.stack([lo, hi], axis=axis + 1 if axis >= 0 else p.ndim + axis + 1)
-    shape = list(p.shape)
-    ax = axis % p.ndim
-    shape[ax] *= 2
-    return stacked.reshape(shape)
+    return jnp.concatenate([lo, hi], axis=axis)
 
 
 def _encode_fp4(x32: jnp.ndarray) -> jnp.ndarray:

