@@ -1,0 +1,62 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: TP+DP forward must be
+numerically identical to single-device execution."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llm_compressor_tpu.models import forward, init_params, tiny_config
+from llm_compressor_tpu.parallel import data_sharding, make_mesh, param_spec_tree, shard_params
+from llm_compressor_tpu.qformats import build_quant_config
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def test_tp_dp_forward_matches_single_device():
+    cfg = tiny_config("llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)))
+    ref = np.asarray(forward(params, cfg, tokens))
+
+    mesh = make_mesh(n_data=2)
+    sp = shard_params(params, cfg, mesh)
+    toks = jax.device_put(tokens, data_sharding(mesh, 2))
+    out = np.asarray(forward(sp, cfg, toks))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_quantized_forward():
+    cfg = tiny_config("llama")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    qcfg = build_quant_config(None, "int8-g[-1]-rw", None, None)
+    tokens = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 8)))
+    ref = np.asarray(forward(params, cfg, tokens, qcfg=qcfg))
+    mesh = make_mesh(n_data=1)
+    sp = shard_params(params, cfg, mesh)
+    out = np.asarray(forward(sp, cfg, tokens, qcfg=qcfg))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_param_specs_shapes_divisible():
+    cfg = tiny_config("llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=2)
+    specs = param_spec_tree(params, cfg)
+
+    def check(path, leaf, spec):
+        for dim, axis in enumerate(spec):
+            if axis == "model":
+                assert leaf.shape[dim] % mesh.shape["model"] == 0, (path, leaf.shape, spec)
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, l, s: check(p, l, s), params, specs
+    )
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
