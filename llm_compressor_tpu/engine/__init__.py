@@ -7,8 +7,9 @@ the north star demands: jitted prefill + single-token decode over a real
 (quantizable) KV cache, mesh-shardable.
 """
 
+from .batching import ContinuousBatcher, Request
 from .kvcache import KVCache, init_cache
 from .generate import generate, generate_text, prefill, decode_step
 
 __all__ = ["KVCache", "init_cache", "generate", "generate_text", "prefill",
-           "decode_step"]
+           "decode_step", "ContinuousBatcher", "Request"]

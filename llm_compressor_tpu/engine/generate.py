@@ -37,13 +37,15 @@ from ..models.transformer import (
     rope_for_layer,
 )
 from ..qformats.config import QuantConfig
-from .kvcache import KVCache, append, init_cache, read
+from .kvcache import KVCache, append_decode, append_prefill, init_cache, read
 
 
 def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
                       cache: KVCache, start, ops: Optional[LayerOps]):
     """Attention for a (B, T, E) slice at absolute ``positions``, writing
-    K/V into the cache at ``start`` and attending over the whole cache."""
+    K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
+    ``start`` is None, using positions[:, 0]) and attending over the whole
+    cache window."""
     B, T, E = x.shape
     ap = lp["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -75,7 +77,10 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-    cache = append(cache, layer_idx, k, v, start)
+    if start is None:  # decode: per-slot scatter at positions[:, 0]
+        cache = append_decode(cache, layer_idx, k, v, positions[:, 0])
+    else:
+        cache = append_prefill(cache, layer_idx, k, v, start)
     K, V = read(cache, layer_idx, dtype=x.dtype)   # (B, S, KV, D)
     S = K.shape[1]
 
@@ -150,8 +155,11 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                     qcfg: Optional[QuantConfig]):
     B, T = tokens.shape
-    positions = start + jnp.arange(T)[None, :]
-    positions = jnp.broadcast_to(positions, (B, T))
+    if start is None:  # decode: per-slot positions from cache lengths
+        positions = cache.lengths[:, None]
+        assert T == 1
+    else:
+        positions = jnp.broadcast_to(start + jnp.arange(T)[None, :], (B, T))
     h = embed(params, cfg, tokens, positions)
     for i, lp in enumerate(params["layers"]):
         h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
@@ -165,7 +173,7 @@ def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
             qcfg: Optional[QuantConfig] = None):
     """Encode the prompt; returns (last-position logits (B, V), cache)."""
     logits, cache = _forward_cached(params, cfg, tokens, cache, jnp.int32(0), qcfg)
-    cache = cache.replace(length=jnp.int32(tokens.shape[1]))
+    cache = cache.replace(lengths=jnp.full((tokens.shape[0],), tokens.shape[1], jnp.int32))
     return logits[:, -1, :], cache
 
 
@@ -173,8 +181,8 @@ def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
 def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
                 qcfg: Optional[QuantConfig] = None):
     """One token (B, 1) -> (logits (B, V), cache)."""
-    logits, cache = _forward_cached(params, cfg, token, cache, cache.length, qcfg)
-    cache = cache.replace(length=cache.length + 1)
+    logits, cache = _forward_cached(params, cfg, token, cache, None, qcfg)
+    cache = cache.replace(lengths=cache.lengths + 1)
     return logits[:, -1, :], cache
 
 
