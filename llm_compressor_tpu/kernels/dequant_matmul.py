@@ -74,12 +74,13 @@ def _int4_kernel(x_ref, wp_ref, s_ref, z_ref, out_ref, acc,
         s = _select_col(s_ref, k * gpk + gi)
         if has_zeros:
             z = _select_col(z_ref, k * gpk + gi)
-            pieces.append(((lo.astype(jnp.float32) - z) * s))
-            pieces.append(((hi.astype(jnp.float32) - z) * s))
+            pieces.append(((lo.astype(jnp.float32) - z) * s).astype(jnp.bfloat16))
+            pieces.append(((hi.astype(jnp.float32) - z) * s).astype(jnp.bfloat16))
         else:
-            pieces.append(lo.astype(jnp.float32) * s)
-            pieces.append(hi.astype(jnp.float32) * s)
-    w = jnp.concatenate(pieces, axis=-1).astype(jnp.bfloat16)  # (TN, TK)
+            sb = s.astype(jnp.bfloat16)
+            pieces.append(lo.astype(jnp.bfloat16) * sb)
+            pieces.append(hi.astype(jnp.bfloat16) * sb)
+    w = jnp.concatenate(pieces, axis=-1)  # (TN, TK) bf16
 
     acc[...] += jax.lax.dot_general(
         x_ref[...], w,
@@ -183,7 +184,7 @@ def _call(kernel, x2, codes, scales, zeros, *, group, tk, has_zeros, out_dtype):
     M, K = x2.shape
     N = codes.shape[0]
     TM = min(_round_up(M, 16), 256)
-    TN = 256 if N % 256 == 0 else 128
+    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     nk = K // tk
 
     pack_div = K // codes.shape[1]  # 2 for int4, 1 otherwise
@@ -236,8 +237,14 @@ def dequant_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     x2 = x.reshape(-1, C)
     M = x2.shape[0]
 
-    # K blocks must cover whole groups; two groups per block when possible
-    tk = g if (C // g) % 2 else min(2 * g, C)
+    # K blocks must cover whole groups; up to four groups per block
+    ng = C // g
+    if ng % 4 == 0:
+        tk = 4 * g
+    elif ng % 2 == 0:
+        tk = 2 * g
+    else:
+        tk = g
     scales = qt.scales.reshape(N, C // g)
     has_zeros = qt.zeros is not None
     zeros = qt.zeros.reshape(N, C // g) if has_zeros else jnp.zeros_like(scales)
