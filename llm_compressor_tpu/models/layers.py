@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..qformats import QTensor, Quantizer, dequantize, quantize_dequant
+from ..qformats import ElemFormat, QTensor, Quantizer, dequantize, quantize_dequant
 from ..qformats.config import OpQuantConfig
 from .config import ModelConfig, RopeScaling
 
@@ -168,16 +168,28 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None):
     Pallas fused kernel path lives in kernels/dequant_matmul.py and is
     selected by the engine).
     """
-    if op is not None:
-        x = maybe_quant(op.act_in, x)
     if isinstance(weight, QTensor):
-        # packed execution: fused Pallas dequant-matmul (XLA fallback inside)
+        # Packed execution. With int8 per-token act_in, the fused W4A8
+        # kernel IS the activation quantizer + integer matmul; otherwise
+        # quantize acts as configured and run the dequant-matmul kernel.
         from ..kernels.dequant_matmul import dequant_matmul
+        from ..kernels.w4a8_matmul import supported as w4a8_supported
+        from ..kernels.w4a8_matmul import w4a8_matmul
 
-        y = dequant_matmul(x, weight, bias)
+        ai = op.act_in if op is not None else None
+        if (ai is not None and ai.qtype == "int" and ai.fmt == ElemFormat.int8
+                and ai.group_size == -1 and not ai.zero_point
+                and w4a8_supported(weight)):
+            y = w4a8_matmul(x, weight, bias)
+        else:
+            if op is not None:
+                x = maybe_quant(op.act_in, x)
+            y = dequant_matmul(x, weight, bias)
         if op is not None:
             y = maybe_quant(op.act_out, y)
         return y
+    if op is not None:
+        x = maybe_quant(op.act_in, x)
     y = jax.lax.dot_general(
         x, weight,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),

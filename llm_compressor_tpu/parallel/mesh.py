@@ -50,17 +50,31 @@ def _linear_spec(slot: str) -> P:
     return P(None, None)
 
 
-def _leaf_spec(path_keys, leaf) -> P:
+def _leaf_spec(path_keys, leaf, n_model: int = 0) -> P:
     """PartitionSpec for one param leaf based on its pytree path."""
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path_keys]
+    names = [getattr(k, "name", None) for k in path_keys]  # struct fields
     # find the linear slot in the path (attn/mlp node -> slot name)
     for i, k in enumerate(keys):
         if k in ("attn", "mlp") and i + 1 < len(keys):
             slot = keys[i + 1]
-            leafname = keys[-1]
+            leafname = keys[-1] if keys[-1] is not None else names[-1]
             if slot in ("q_norm", "k_norm"):
                 return P()
             spec = _linear_spec(slot)
+            # packed QTensor leaves: codes/scales/zeros have blocked shapes
+            # (N, G, g[/2]); shard N for col-parallel, the group dim G for
+            # row-parallel (groups follow the contraction dim)
+            if leafname in ("codes", "scales", "zeros"):
+                nd = getattr(leaf, "ndim", 0)
+                shape = getattr(leaf, "shape", ())
+                if spec == P("model", None) and (not n_model or shape[0] % n_model == 0):
+                    return P(*(["model"] + [None] * (nd - 1)))
+                if (spec == P(None, "model") and nd >= 2
+                        and (not n_model or shape[1] % n_model == 0)):
+                    # row-parallel: shard the GROUP dim (follows contraction)
+                    return P(*([None, "model"] + [None] * (nd - 2)))
+                return P()
             if leafname == "bias":
                 # bias follows the output dim: sharded for col-parallel
                 return P("model") if spec == P("model", None) else P()
@@ -76,14 +90,18 @@ def _leaf_spec(path_keys, leaf) -> P:
     return P()
 
 
-def param_spec_tree(params, cfg: ModelConfig):
-    """PartitionSpec pytree matching the params pytree."""
-    return jax.tree_util.tree_map_with_path(lambda p, leaf: _leaf_spec(p, leaf), params)
+def param_spec_tree(params, cfg: ModelConfig, mesh: Mesh = None):
+    """PartitionSpec pytree matching the params pytree. Leaves whose shape
+    cannot divide the model axis (e.g. single-group packed QTensors) fall
+    back to replication when ``mesh`` is given."""
+    n_model = int(mesh.shape.get("model", 0)) if mesh is not None else 0
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: _leaf_spec(p, leaf, n_model), params)
 
 
 def shard_params(params, cfg: ModelConfig, mesh: Mesh):
     """device_put every param with its NamedSharding."""
-    specs = param_spec_tree(params, cfg)
+    specs = param_spec_tree(params, cfg, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

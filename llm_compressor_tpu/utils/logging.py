@@ -53,3 +53,21 @@ def init_seeds(seed: int = 0) -> None:
     random.seed(seed)
     np.random.seed(seed)
     os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+def draw_2d_dist(x, save_path="dist.png", title="2D distribution"):
+    """Matshow of a 2-D tensor's magnitude (reference utils/general.py:104-116)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as _np
+
+    arr = _np.abs(_np.asarray(x, dtype=_np.float32))
+    fig, ax = plt.subplots(figsize=(8, 6))
+    im = ax.matshow(arr, aspect="auto", cmap="viridis")
+    fig.colorbar(im)
+    ax.set_title(title)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return save_path

@@ -60,3 +60,22 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tp_packed_qtensor_forward():
+    """Packed QTensor weights sharded over the model axis must match the
+    single-device packed forward."""
+    from llm_compressor_tpu import algorithms as alg
+
+    cfg = tiny_config("llama", hidden_size=128, intermediate_size=256,
+                      num_heads=4, num_kv_heads=4, head_dim=32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None, None)
+    alg.rtn(params, cfg, qcfg)
+    alg.pack_model(params, cfg, qcfg)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 8)))
+    ref = np.asarray(forward(params, cfg, tokens, qcfg=qcfg))
+    mesh = make_mesh(n_data=2)
+    sp = shard_params(params, cfg, mesh)
+    out = np.asarray(forward(sp, cfg, tokens, qcfg=qcfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)

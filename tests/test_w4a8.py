@@ -1,0 +1,81 @@
+"""W4A8 fused kernel vs the simulated (fake-quant) reference path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from llm_compressor_tpu.kernels.w4a8_matmul import (
+    quantize_acts_per_token,
+    supported,
+    w4a8_matmul,
+)
+from llm_compressor_tpu.qformats import (
+    ElemFormat,
+    Quantizer,
+    dequantize,
+    quantize_dequant,
+    quantize_pack,
+)
+
+
+def _simulated(x, qt):
+    """The fake-quant path the reference uses: qdq acts, qdq weights, matmul."""
+    a = Quantizer(qtype="int", fmt=ElemFormat.int8, group_size=-1)
+    xq = quantize_dequant(a, x.astype(jnp.float32))
+    w = dequantize(qt).astype(jnp.float32)
+    return xq @ w.T
+
+
+@pytest.mark.parametrize("fmt,gs", [(ElemFormat.int4, 128), (ElemFormat.int8, 128),
+                                    (ElemFormat.int4, 256)])
+def test_matches_simulated_path(rng, fmt, gs):
+    N, C, M = 256, 512, 8
+    W = rng.normal(0, 0.1, size=(N, C)).astype(np.float32)
+    x = rng.normal(size=(M, C)).astype(np.float32)
+    q = Quantizer(qtype="int", fmt=fmt, group_size=gs)
+    qt = quantize_pack(q, jnp.asarray(W))
+    assert supported(qt)
+
+    ref = np.asarray(_simulated(jnp.asarray(x), qt))
+    out = np.asarray(w4a8_matmul(jnp.asarray(x), qt)).astype(np.float32)
+    # integer math is exact; differences only from scale multiply order
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+
+
+def test_act_quantization_semantics(rng):
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    q, s = quantize_acts_per_token(x)
+    a = Quantizer(qtype="int", fmt=ElemFormat.int8, group_size=-1)
+    ref = np.asarray(quantize_dequant(a, x))
+    np.testing.assert_allclose(np.asarray(q, np.float32) * np.asarray(s), ref,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_unsupported_configs(rng):
+    W = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    zp = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=128, zero_point=True)
+    assert not supported(quantize_pack(zp, jnp.abs(W)))
+    small_g = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=32)
+    assert not supported(quantize_pack(small_g, W))
+
+
+def test_model_forward_uses_fused_path(rng):
+    """End-to-end: packed model with int8-per-token act config must produce
+    outputs close to the simulated quantized forward."""
+    import jax
+
+    from llm_compressor_tpu import algorithms as alg
+    from llm_compressor_tpu.models import forward, init_params, tiny_config
+    from llm_compressor_tpu.qformats import build_quant_config
+
+    cfg = tiny_config("llama", hidden_size=128, intermediate_size=256,
+                      num_heads=4, num_kv_heads=4, head_dim=32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None, None)
+    alg.rtn(params, cfg, qcfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)))
+    ref = np.asarray(forward(params, cfg, toks, qcfg=qcfg))
+    alg.pack_model(params, cfg, qcfg)
+    out = np.asarray(forward(params, cfg, toks, qcfg=qcfg))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
