@@ -24,6 +24,8 @@ from ..models.layers import (
     alibi_bias,
     layer_norm,
     qlinear,
+    qmatmul_qk,
+    qmatmul_sv,
     rms_norm,
     softcap,
 )
@@ -94,13 +96,13 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
     v4 = V.transpose(0, 2, 1, 3)            # (B, H, S, D)
 
     scale = cfg.attn_scale
+    qk_op = ops.qk if ops is not None else None
+    sv_op = ops.sv if ops is not None else None
     if cfg.arch in ("opt", "bloom"):
         q4 = q4 * jnp.asarray(scale, q4.dtype)
-        scores = jnp.einsum("bhtd,bhds->bhts", q4, k4t,
-                            preferred_element_type=jnp.float32)
+        scores = qmatmul_qk(q4, k4t, qk_op)
     else:
-        scores = jnp.einsum("bhtd,bhds->bhts", q4, k4t,
-                            preferred_element_type=jnp.float32) * scale
+        scores = qmatmul_qk(q4, k4t, qk_op) * scale
 
     kv_pos = jnp.arange(S)
     if cfg.pos_embedding == "alibi":
@@ -115,8 +117,7 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
     scores = scores + jnp.where(keep, 0.0, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
 
-    out = jnp.einsum("bhts,bhsd->bhtd", probs, v4,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = qmatmul_sv(probs, v4, sv_op).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
     return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o")), cache
 
