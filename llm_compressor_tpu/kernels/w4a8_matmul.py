@@ -99,6 +99,14 @@ def _call(x_i8, wp, scales, *, group, int4, tm, tn):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * C,
+            bytes_accessed=wp.size + scales.size * 4 + M * C + M * N * 4,
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(x_i8, wp, scales)
 
@@ -139,7 +147,7 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     wp = qt.codes.reshape(N, C // 2) if int4 else qt.codes.reshape(N, C)
 
     tm = min(_round_up(M, 32), 256)  # int8 sublane tile is 32
-    tn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    tn = next(t for t in (1024, 512, 256, 128) if N % t == 0)
     if M % tm:
         x_i8 = jnp.pad(x_i8, ((0, (-M) % tm), (0, 0)))
     out = _call(x_i8, wp, scales, group=g, int4=int4, tm=tm, tn=tn)

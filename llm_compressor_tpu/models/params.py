@@ -314,6 +314,53 @@ def save_compressed(params, cfg: ModelConfig, path: "str | Path",
             pass
 
 
+def load_compressed(path: "str | Path", cfg: ModelConfig,
+                    qcfg=None) -> Params:
+    """Round-trip of :func:`save_compressed`: rebuild params from
+    model.safetensors, re-packing QTensors from packed.npz when present
+    (codes/scales are the exact calibrated payload — no re-quantization)."""
+    from safetensors.numpy import load_file
+
+    from ..qformats.qtensor import QTensor
+
+    path = Path(path)
+    sd = load_file(str(path / "model.safetensors"))
+    params = load_params_from_state_dict(cfg, sd)
+    packed_file = path / "packed.npz"
+    if packed_file.exists() and qcfg is not None:
+        from ..models.transformer import arch_slots, op_names
+        from ..qformats.blocking import resolve_group
+        from ..algorithms.common import SLOT_PATH
+
+        data = np.load(packed_file)
+        for i, lp in enumerate(params["layers"]):
+            names = op_names(cfg, i)
+            for slot in arch_slots(cfg):
+                hf = {v: k for k, v in _hf_key_map(cfg, i).items()}[SLOT_PATH[slot]]
+                ck, sk = f"{hf}.weight.codes", f"{hf}.weight.scales"
+                if ck not in data:
+                    continue
+                q = qcfg.for_op(names[slot], "linear").weight
+                node = lp
+                for k in SLOT_PATH[slot]:
+                    node = node[k]
+                W_shape = tuple(sd[f"{hf}.weight"].shape)
+                codes = jnp.asarray(data[ck])
+                scales = jnp.asarray(data[sk])
+                zk = f"{hf}.weight.zeros"
+                zeros = jnp.asarray(data[zk]) if zk in data else None
+                group, axes = resolve_group(q.group_size, q.eff_axes, W_shape)
+                n_groups = scales.shape[1] if scales.ndim >= 2 else 1
+                blocked = (W_shape[0], n_groups, group)
+                node["weight"] = QTensor(
+                    codes=codes, scales=scales, zeros=zeros, quantizer=q,
+                    shape=W_shape, blocked_shape=blocked,
+                    group_axis=2, ngroups_axis=1,
+                    dtype=_dt(cfg),
+                )
+    return params
+
+
 def load_hf_checkpoint(path: "str | Path", dtype: Optional[str] = None):
     """Load (cfg, params) from a local HF checkpoint directory."""
     from safetensors.numpy import load_file

@@ -53,3 +53,35 @@ def test_save_and_reload(tmp_path, monkeypatch):
     sd = load_file(str(tmp_path / "out/model.safetensors"))
     assert "model.layers.0.self_attn.q_proj.weight" in sd
     assert "model.embed_tokens.weight" in sd
+
+
+def test_packed_save_load_roundtrip(tmp_path, monkeypatch):
+    """Packed checkpoint round-trip: loaded QTensors reproduce the exact
+    quantized forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llm_compressor_tpu import algorithms as alg
+    from llm_compressor_tpu.models import (
+        forward, init_params, save_compressed, tiny_config,
+    )
+    from llm_compressor_tpu.models.params import load_compressed
+    from llm_compressor_tpu.qformats import build_quant_config
+
+    cfg = tiny_config("llama", hidden_size=128, intermediate_size=256,
+                      num_heads=4, num_kv_heads=4, head_dim=32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None, None)
+    alg.rtn(params, cfg, qcfg)
+    alg.pack_model(params, cfg, qcfg)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 8)))
+    ref = np.asarray(forward(params, cfg, toks, qcfg=qcfg))
+
+    save_compressed(params, cfg, tmp_path / "ckpt")
+    params2 = load_compressed(tmp_path / "ckpt", cfg, qcfg)
+    from llm_compressor_tpu.qformats import QTensor
+
+    assert isinstance(params2["layers"][0]["attn"]["q"]["weight"], QTensor)
+    out = np.asarray(forward(params2, cfg, toks, qcfg=qcfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
