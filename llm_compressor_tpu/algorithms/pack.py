@@ -21,9 +21,15 @@ from ..qformats.qtensor import quantize_pack
 from .common import get_weight, set_weight, weight_quantizer_for
 
 
-def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig) -> None:
+def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig,
+               pack_head: bool = True) -> None:
     """Replace every quantizable linear weight with a packed QTensor
-    (in place). Weights whose quantizer is dummy stay dense."""
+    (in place). Weights whose quantizer is dummy stay dense.
+
+    ``pack_head``: when the head quantizer is set, also pack the lm_head.
+    For tied-embedding models a packed lm_head copy is created (the
+    embedding table itself stays dense for gathers) — decode reads the
+    packed head instead of the full bf16 vocabulary projection."""
     for i, lp in enumerate(params["layers"]):
         for slot in arch_slots(cfg):
             q = weight_quantizer_for(cfg, qcfg, i, slot, mse=False)
@@ -31,3 +37,9 @@ def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig) -> None:
                 continue
             W = get_weight(lp, slot)
             set_weight(lp, slot, quantize_pack(q, W))
+    hq = qcfg.head.weight
+    if pack_head and hq.qtype != "dummy":
+        W = (params["lm_head"]["weight"] if "lm_head" in params
+             else params["embed"]["weight"])
+        if not hasattr(W, "codes"):  # not already packed
+            params.setdefault("lm_head", {})["weight"] = quantize_pack(hq, W)
