@@ -238,7 +238,7 @@ def _apply_clip(lp, slot, best_max):
 
 def awq(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
         mse: bool = False, do_clip: bool = True, finish_rtn: bool = True,
-        verbose: bool = True) -> None:
+        scale_book: dict = None, verbose: bool = True) -> None:
     for i, lp in enumerate(params["layers"]):
         ops = layer_ops(cfg, qcfg, i)
         pairs = scale_pairs(cfg, lp)
@@ -276,15 +276,16 @@ def awq(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
                     _apply_clip(lp, slot, best)
 
     if finish_rtn:
-        rtn(params, cfg, qcfg, mse=mse, verbose=False)
+        rtn(params, cfg, qcfg, mse=mse, scale_book=scale_book, verbose=False)
 
 
 def awq_plus(params, cfg: ModelConfig, ctx: CalibContext, gptq_ctx: CalibContext,
-             qcfg: QuantConfig, mse: bool = False, verbose: bool = True) -> None:
+             qcfg: QuantConfig, mse: bool = False, scale_book: dict = None,
+             verbose: bool = True) -> None:
     """AWQ+ — AWQ scale/clip followed by GPTQ instead of RTN
     (reference awq_plus/core.py:26-160). ``gptq_ctx`` carries a fresh
     wikitext-2 capture for the GPTQ stage."""
     from .gptq import gptq
 
     awq(params, cfg, ctx, qcfg, mse=mse, finish_rtn=False, verbose=verbose)
-    gptq(params, cfg, gptq_ctx, qcfg, mse=mse, verbose=verbose)
+    gptq(params, cfg, gptq_ctx, qcfg, mse=mse, scale_book=scale_book, verbose=verbose)

@@ -24,7 +24,7 @@ from .common import (
     slot_tap,
     weight_quantizer_for,
 )
-from .obs import gptaq_update
+from .obs import gptaq_update_with_params
 
 
 @jax.jit
@@ -38,7 +38,8 @@ def _cross_chunk(x, fx):
 
 def gptaq(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
           mse: bool = False, blocksize: int = 128, actorder: bool = True,
-          alpha: float = 0.25, verbose: bool = True) -> None:
+          alpha: float = 0.25, scale_book: dict = None,
+          verbose: bool = True) -> None:
     # Second stream: full-precision inputs propagated through original layers
     fp_hidden = ctx.hidden
     n_samples = ctx.hidden.shape[0]
@@ -69,9 +70,12 @@ def gptaq(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
                 if qz.qtype == "dummy":
                     continue
                 W = get_weight(lp, slot)
-                Q = gptaq_update(W, H, dXXT, qz, blocksize=blocksize,
-                                 actorder=actorder, alpha=alpha)
+                Q, s, z = gptaq_update_with_params(W, H, dXXT, qz,
+                                                   blocksize=blocksize,
+                                                   actorder=actorder, alpha=alpha)
                 set_weight(lp, slot, Q.astype(W.dtype))
+                if scale_book is not None:
+                    scale_book[(i, slot)] = (s, z)
 
         # propagate both streams
         advance(fp_ctx, orig_lp, i, ops)

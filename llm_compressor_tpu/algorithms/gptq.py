@@ -21,12 +21,12 @@ from .common import (
     slot_tap,
     weight_quantizer_for,
 )
-from .obs import gptq_update
+from .obs import gptq_update_with_params
 
 
 def gptq(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
          mse: bool = False, blocksize: int = 128, actorder: bool = True,
-         verbose: bool = True) -> None:
+         scale_book: dict = None, verbose: bool = True) -> None:
     for i, lp in enumerate(params["layers"]):
         ops = layer_ops(cfg, qcfg, i)
         for group in sequential_groups(cfg):
@@ -37,7 +37,11 @@ def gptq(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
                 if qz.qtype == "dummy":
                     continue
                 W = get_weight(lp, slot)
-                Q = gptq_update(W, H[tap], qz, blocksize=blocksize, actorder=actorder)
+                Q, s, z = gptq_update_with_params(W, H[tap], qz,
+                                                  blocksize=blocksize,
+                                                  actorder=actorder)
                 set_weight(lp, slot, Q.astype(W.dtype))
+                if scale_book is not None:
+                    scale_book[(i, slot)] = (s, z)
         advance(ctx, lp, i, ops)
     quantize_head_weight(params, qcfg, mse)

@@ -182,7 +182,10 @@ def _gptq_core(W, H, dXXT, *, quantizer: Quantizer, blocksize: int,
     if actorder:
         invperm = jnp.argsort(perm)
         Q = _permute_cols(Q, invperm, group)
-    return Q
+        if group > 1:
+            scales = scales[:, invperm, :]
+            zeros = zeros[:, invperm, :]
+    return Q, scales, zeros
 
 
 # The Cholesky retry needs a host-side NaN check, which cannot live inside
@@ -203,6 +206,24 @@ def hessian_inverse_factor_traced(H: jnp.ndarray, percdamp: float = 0.01):
     return jnp.where(bad, U10, U)
 
 
+def gptq_update_with_params(W, H, quantizer: Quantizer, blocksize: int = 128,
+                            actorder: bool = True):
+    """GPTQ update returning (Q, scales, zeros) — the exact group params the
+    quantized columns were rounded against (act-order unpermuted), for
+    lossless packing."""
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        return _gptq_core(W, H, dummy, quantizer=quantizer, blocksize=blocksize,
+                          actorder=actorder, use_p=False)
+
+
+def gptaq_update_with_params(W, H, dXXT, quantizer: Quantizer, blocksize: int = 128,
+                             actorder: bool = True, alpha: float = 0.25):
+    with jax.default_matmul_precision("highest"):
+        return _gptq_core(W, H, dXXT, quantizer=quantizer, blocksize=blocksize,
+                          actorder=actorder, use_p=True, alpha=alpha)
+
+
 def gptq_update(W, H, quantizer: Quantizer, blocksize: int = 128,
                 actorder: bool = True) -> jnp.ndarray:
     """GPTQ error-compensated quantization of one weight matrix.
@@ -211,16 +232,18 @@ def gptq_update(W, H, quantizer: Quantizer, blocksize: int = 128,
     numerically delicate and must not run as bf16 MXU passes."""
     dummy = jnp.zeros((1, 1), jnp.float32)
     with jax.default_matmul_precision("highest"):
-        return _gptq_core(W, H, dummy, quantizer=quantizer, blocksize=blocksize,
-                          actorder=actorder, use_p=False)
+        Q, _, _ = _gptq_core(W, H, dummy, quantizer=quantizer, blocksize=blocksize,
+                             actorder=actorder, use_p=False)
+    return Q
 
 
 def gptaq_update(W, H, dXXT, quantizer: Quantizer, blocksize: int = 128,
                  actorder: bool = True, alpha: float = 0.25) -> jnp.ndarray:
     """GPTAQ: GPTQ + asymmetric-error correction term."""
     with jax.default_matmul_precision("highest"):
-        return _gptq_core(W, H, dXXT, quantizer=quantizer, blocksize=blocksize,
-                          actorder=actorder, use_p=True, alpha=alpha)
+        Q, _, _ = _gptq_core(W, H, dXXT, quantizer=quantizer, blocksize=blocksize,
+                             actorder=actorder, use_p=True, alpha=alpha)
+    return Q
 
 
 def sparsegpt_update(W, H, sparsity_ratio: float, blocksize: int = 128):

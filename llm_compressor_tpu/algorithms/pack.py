@@ -22,7 +22,7 @@ from .common import get_weight, set_weight, weight_quantizer_for
 
 
 def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig,
-               pack_head: bool = True) -> None:
+               scale_book: dict = None, pack_head: bool = True) -> None:
     """Replace every quantizable linear weight with a packed QTensor
     (in place). Weights whose quantizer is dummy stay dense.
 
@@ -36,7 +36,11 @@ def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig,
             if q.qtype == "dummy":
                 continue
             W = get_weight(lp, slot)
-            set_weight(lp, slot, quantize_pack(q, W))
+            if scale_book is not None and (i, slot) in scale_book:
+                s, z = scale_book[(i, slot)]
+                set_weight(lp, slot, quantize_pack(q, W, scales=s, zeros=z))
+            else:
+                set_weight(lp, slot, quantize_pack(q, W))
     hq = qcfg.head.weight
     if pack_head and hq.qtype != "dummy":
         W = (params["lm_head"]["weight"] if "lm_head" in params

@@ -13,13 +13,15 @@ import jax
 from ..models.config import ModelConfig
 from ..models.transformer import arch_slots
 from ..qformats.config import QuantConfig
-from ..qformats.quantize import quantize_dequant
+from ..qformats.quantize import quantize_dequant_with_params
 from .common import get_weight, quantize_head_weight, set_weight, weight_quantizer_for
 
 
 def rtn(params, cfg: ModelConfig, qcfg: QuantConfig, mse: bool = False,
-        verbose: bool = True) -> None:
-    """Quantize all linear weights in place (params mutated)."""
+        scale_book: dict = None, verbose: bool = True) -> None:
+    """Quantize all linear weights in place (params mutated). When
+    ``scale_book`` is given, the exact solved (scales, zeros) per (layer,
+    slot) are recorded for lossless packing."""
     for i, lp in enumerate(params["layers"]):
         for slot in arch_slots(cfg):
             q = weight_quantizer_for(cfg, qcfg, i, slot, mse)
@@ -27,5 +29,8 @@ def rtn(params, cfg: ModelConfig, qcfg: QuantConfig, mse: bool = False,
                 continue
             W = get_weight(lp, slot)
             mask = (W != 0).astype(W.dtype)
-            set_weight(lp, slot, quantize_dequant(q, W) * mask)
+            dq, (s, z) = quantize_dequant_with_params(q, W)
+            set_weight(lp, slot, dq * mask)
+            if scale_book is not None:
+                scale_book[(i, slot)] = (s, z)
     quantize_head_weight(params, qcfg, mse)

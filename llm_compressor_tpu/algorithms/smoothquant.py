@@ -50,7 +50,8 @@ def _act_absmax(ctx: CalibContext, lp, layer_idx, ops, tap_keys):
 
 
 def smoothquant(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
-                alpha: float = 0.5, mse: bool = False, verbose: bool = True) -> None:
+                alpha: float = 0.5, mse: bool = False, scale_book: dict = None,
+                verbose: bool = True) -> None:
     pairs = _scale_pairs(cfg)
     for i, lp in enumerate(params["layers"]):
         ops = layer_ops(cfg, qcfg, i)
@@ -77,4 +78,4 @@ def smoothquant(params, cfg: ModelConfig, ctx: CalibContext, qcfg: QuantConfig,
                 W = get_weight(lp, slot)
                 set_weight(lp, slot, (W.astype(jnp.float32) * scales[None, :]).astype(W.dtype))
 
-    rtn(params, cfg, qcfg, mse=mse, verbose=False)
+    rtn(params, cfg, qcfg, mse=mse, scale_book=scale_book, verbose=False)

@@ -81,22 +81,24 @@ def run_pipeline(args) -> dict:
         LOGGER.info("Profiling done (stats.csv)")
         return {"stats_csv": str(exp_dir / "stats.csv")}
 
+    scale_book: dict = {}
     if args.quantize:
         LOGGER.info(f"Quantizing [{args.quant_method}]")
         m = args.quant_method
         if m == "rtn":
-            alg.rtn(params, cfg, qcfg, mse=args.w_clip)
+            alg.rtn(params, cfg, qcfg, mse=args.w_clip, scale_book=scale_book)
         elif m == "smoothquant":
             alg.smoothquant(params, cfg, ctx(), qcfg, alpha=args.sq_alpha,
-                            mse=args.w_clip)
+                            mse=args.w_clip, scale_book=scale_book)
         elif m == "gptq":
-            alg.gptq(params, cfg, ctx(), qcfg, mse=args.w_clip)
+            alg.gptq(params, cfg, ctx(), qcfg, mse=args.w_clip, scale_book=scale_book)
         elif m == "awq":
-            alg.awq(params, cfg, ctx(), qcfg, mse=args.w_clip)
+            alg.awq(params, cfg, ctx(), qcfg, mse=args.w_clip, scale_book=scale_book)
         elif m == "awq_plus":
-            alg.awq_plus(params, cfg, ctx(), ctx(), qcfg, mse=args.w_clip)
+            alg.awq_plus(params, cfg, ctx(), ctx(), qcfg, mse=args.w_clip,
+                         scale_book=scale_book)
         elif m == "gptaq":
-            alg.gptaq(params, cfg, ctx(), qcfg, mse=args.w_clip)
+            alg.gptaq(params, cfg, ctx(), qcfg, mse=args.w_clip, scale_book=scale_book)
         elif m in ("spinquant-had", "spinquant-opt"):
             cfg = alg.spinquant(params, cfg, train_tokens, qcfg,
                                 mode="hadamard" if m == "spinquant-had" else "optimize",
@@ -111,7 +113,7 @@ def run_pipeline(args) -> dict:
     (exp_dir / "results.json").write_text(json.dumps(results, indent=2))
 
     if args.pack:
-        alg.pack_model(params, cfg, qcfg)
+        alg.pack_model(params, cfg, qcfg, scale_book=scale_book or None)
         LOGGER.info("Weights packed into QTensors")
 
     if args.save_path:

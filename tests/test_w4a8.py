@@ -79,3 +79,30 @@ def test_model_forward_uses_fused_path(rng):
     out = np.asarray(forward(params, cfg, toks, qcfg=qcfg))
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 0.02, rel
+
+
+def test_gptq_scale_book_packing_exact(rng):
+    """With the calibration scale book, packing GPTQ output is lossless:
+    dequantize(pack(Q, scales)) == Q exactly."""
+    import jax
+
+    from llm_compressor_tpu import algorithms as alg
+    from llm_compressor_tpu.capture import capture_layer0
+    from llm_compressor_tpu.models import init_params, tiny_config
+    from llm_compressor_tpu.qformats import build_quant_config
+    from llm_compressor_tpu.utils.dataset import synthetic_tokens
+
+    cfg = tiny_config("llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[32]-rw", None, None, None)
+    ctx = capture_layer0(params, cfg, jnp.asarray(synthetic_tokens(4, 32, cfg.vocab_size)), chunk=2)
+    book = {}
+    alg.gptq(params, cfg, ctx, qcfg, scale_book=book)
+    assert (0, "q") in book
+
+    Q = params["layers"][0]["attn"]["q"]["weight"]
+    s, z = book[(0, "q")]
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=32)
+    qt = quantize_pack(q, Q, scales=s, zeros=z)
+    np.testing.assert_allclose(np.asarray(dequantize(qt)), np.asarray(Q),
+                               rtol=0, atol=1e-6)
