@@ -61,11 +61,19 @@ def main():
     from llm_compressor_tpu.qformats import build_quant_config
     from __graft_entry__ import _flagship_cfg
 
+    from dataclasses import replace
+
+    from llm_compressor_tpu.qformats import parse_qspec
+    from llm_compressor_tpu.qformats.config import OpQuantConfig
+
     cfg = _flagship_cfg(tiny=not on_tpu)
     # the reference's headline W4A8 config: int4-g128 weights, int8/token
-    # acts, int8 head (the vocab projection dominates decode HBM traffic)
+    # acts. The head also runs W8A8 (the vocab projection dominates decode
+    # HBM traffic) so it takes the fused integer-MXU path.
     qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None,
                               "int8-g[128]-rw")
+    qcfg = replace(qcfg, head=OpQuantConfig(weight=parse_qspec("int8-g[128]-rw"),
+                                            act_in=parse_qspec("int8-g[-1]-rw")))
 
     params = init_params(cfg, jax.random.PRNGKey(0))
 
