@@ -7,13 +7,13 @@ models/llama.py:235-254).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List
 
 import jax.numpy as jnp
 
 from ..capture.pipeline import SLOT_TAP
 from ..models.config import ModelConfig
-from ..models.transformer import arch_slots, op_names
+from ..models.transformer import op_names
 from ..qformats.config import QuantConfig
 from ..qformats.quantize import Quantizer
 

@@ -27,12 +27,8 @@ Semantics preserved exactly:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from ..qformats.quantize import Quantizer, fake_quantize_blocked, find_params
 
 

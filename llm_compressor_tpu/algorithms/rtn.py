@@ -8,8 +8,6 @@ config. Purely data-free, so it is a single vectorized pass.
 
 from __future__ import annotations
 
-import jax
-
 from ..models.config import ModelConfig
 from ..models.transformer import arch_slots
 from ..qformats.config import QuantConfig

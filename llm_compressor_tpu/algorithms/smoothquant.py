@@ -20,7 +20,7 @@ from ..capture.pipeline import CalibContext, advance, run_layer
 from ..models.config import ModelConfig
 from ..models.transformer import layer_ops
 from ..qformats.config import QuantConfig
-from .common import get_bias, get_weight, set_bias, set_weight, slot_tap
+from .common import get_weight, set_weight
 from .rtn import rtn
 
 # (norm param key, linear slots fed by it, tap key) per supported arch

@@ -29,7 +29,6 @@ from ..models.transformer import (
     make_causal_mask,
     rope_for_layer,
 )
-from ..qformats.config import QuantConfig
 
 TAP_KEYS = ("attn_in", "o_in", "mlp_in", "down_in")
 

@@ -10,7 +10,6 @@ build the override config.
 from __future__ import annotations
 
 import csv
-from pathlib import Path
 from typing import Dict, List, Optional
 
 from ..qformats.config import (

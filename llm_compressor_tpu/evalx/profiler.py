@@ -11,18 +11,16 @@ op naming is produced here so the reference's MPQ registry workflow
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
-from ..capture.pipeline import CalibContext, run_layer
+from ..capture.pipeline import run_layer
 from ..models.config import ModelConfig
 from ..models.layers import qlinear
 from ..models.transformer import arch_slots, layer_ops, op_names
 from ..qformats.config import QuantConfig
 from ..qformats.quantize import Quantizer, quantize_dequant
-from ..algorithms.common import SLOT_PATH, get_bias, get_weight, slot_tap
+from ..algorithms.common import get_bias, get_weight, slot_tap
 from ..utils.logging import LOGGER
 
 KEYS = ("Op Name", "PC99%", "Max", "QDQ(Max)", "SQNR", "ClipError", "Elem", "BPV")

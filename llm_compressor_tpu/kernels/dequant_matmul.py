@@ -22,8 +22,6 @@ block's scale slice is a (TN, TK/g) strip.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

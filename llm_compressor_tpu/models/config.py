@@ -15,7 +15,7 @@ families loads without arch-specific code.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 SUPPORTED_ARCHS = (

@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .blocking import block, resolve_group, unblock
-from .formats import ElemFormat, format_params
+from .blocking import unblock
+from .formats import ElemFormat
 from .numerics import quantize_elemwise
 from .quantize import Quantizer, block_for, find_params_blocked
 
