@@ -75,12 +75,17 @@ def main():
     qcfg = replace(qcfg, head=OpQuantConfig(weight=parse_qspec("int8-g[128]-rw"),
                                             act_in=parse_qspec("int8-g[-1]-rw")))
 
+    from llm_compressor_tpu.models import stack_model
+
     params = init_params(cfg, jax.random.PRNGKey(0))
 
-    bf16_tps = _bench_decode(params, cfg)
+    bf16_tps = _bench_decode(stack_model(params), cfg)
 
     rtn(params, cfg, qcfg)          # weights onto the int4 grid
     pack_model(params, cfg, qcfg)   # real packed QTensors (fused W4A8 path)
+    from llm_compressor_tpu.models import stack_model
+
+    params = stack_model(params)    # scan-over-layers: O(1) compile depth
     int4_tps = _bench_decode(params, cfg, qcfg=qcfg)
 
     print(json.dumps({

@@ -155,6 +155,8 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                     qcfg: Optional[QuantConfig]):
+    from ..models.transformer import uniform_layers
+
     B, T = tokens.shape
     if start is None:  # decode: per-slot positions from cache lengths
         positions = cache.lengths[:, None]
@@ -162,9 +164,26 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     else:
         positions = jnp.broadcast_to(start + jnp.arange(T)[None, :], (B, T))
     h = embed(params, cfg, tokens, positions)
-    for i, lp in enumerate(params["layers"]):
-        h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
-                                 layer_ops(cfg, qcfg, i))
+
+    stacked = params.get("layers_stacked")
+    if stacked is not None and uniform_layers(cfg, qcfg):
+        # one lax.scan over the stacked layers: compile time O(1) in depth.
+        # The cache is carried; per-layer writes use the scanned layer index.
+        ops = layer_ops(cfg, qcfg, 0)
+        L = cfg.num_layers
+
+        def step(carry, xs):
+            hh, cc = carry
+            lp, li = xs
+            hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops)
+            return (hh, cc), None
+
+        (h, cache), _ = jax.lax.scan(step, (h, cache),
+                                     (stacked, jnp.arange(L)))
+    else:
+        for i, lp in enumerate(params["layers"]):
+            h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
+                                     layer_ops(cfg, qcfg, i))
     logits = head(params, cfg, h, qcfg)
     return logits, cache
 

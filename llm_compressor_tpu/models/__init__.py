@@ -14,6 +14,8 @@ from .params import (
 from .transformer import (
     LayerOps,
     arch_slots,
+    stack_model,
+    uniform_layers,
     decoder_layer,
     embed,
     forward,
@@ -88,5 +90,5 @@ __all__ = [
     "init_params", "load_hf_checkpoint", "load_params_from_state_dict",
     "forward", "forward_hidden", "embed", "head", "decoder_layer",
     "make_causal_mask", "op_names", "rope_for_layer", "tiny_config",
-    "LayerOps", "layer_ops", "arch_slots",
+    "LayerOps", "layer_ops", "arch_slots", "stack_model", "uniform_layers",
 ]

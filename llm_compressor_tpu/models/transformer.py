@@ -379,14 +379,60 @@ def rope_for_layer(cfg: ModelConfig, layer_idx: int, positions):
     return rope_cos_sin(positions, inv)
 
 
+def uniform_layers(cfg: ModelConfig, qcfg: Optional[QuantConfig]) -> bool:
+    """True when every layer has identical static behavior (same rope,
+    same masking, same quantizer resolution) — the precondition for
+    lax.scan over a stacked layer pytree."""
+    if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
+        return False
+    if cfg.layer_types and len(set(cfg.layer_types)) > 1:
+        return False
+    if qcfg is not None and qcfg.overrides:
+        o0 = layer_ops(cfg, qcfg, 0)
+        return all(layer_ops(cfg, qcfg, i) == o0 for i in range(cfg.num_layers))
+    return True
+
+
+def stack_layers(params: Params):
+    """Stack the per-layer pytrees along a leading L axis (for scan)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+
+def stack_model(params: Params) -> Params:
+    """Serving-form params: per-layer list replaced by one stacked pytree
+    (halves compile time scaling from O(L) to O(1) via lax.scan)."""
+    new = dict(params)
+    new["layers_stacked"] = stack_layers(params)
+    del new["layers"]
+    return new
+
+
 def forward_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                    qcfg: Optional[QuantConfig] = None,
                    positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Full decoder stack, returns last hidden states (pre final-norm)."""
+    """Full decoder stack, returns last hidden states (pre final-norm).
+
+    When ``params['layers_stacked']`` is present (see :func:`stack_layers`)
+    and the architecture is layer-uniform, the stack runs as ONE
+    ``lax.scan`` — compile time independent of depth.
+    """
     B, T = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     h = embed(params, cfg, tokens, positions)
+
+    stacked = params.get("layers_stacked")
+    if stacked is not None and uniform_layers(cfg, qcfg):
+        cos, sin = rope_for_layer(cfg, 0, positions)
+        mask = make_causal_mask(cfg, 0, positions, positions)
+        ops = layer_ops(cfg, qcfg, 0)
+
+        def step(carry, lp):
+            return decoder_layer(lp, cfg, carry, cos, sin, mask, ops), None
+
+        h, _ = jax.lax.scan(step, h, stacked)
+        return h
+
     for i, lp in enumerate(params["layers"]):
         cos, sin = rope_for_layer(cfg, i, positions)
         mask = make_causal_mask(cfg, i, positions, positions)

@@ -1,0 +1,65 @@
+"""Scan-over-layers (stacked params) must match the unrolled forward and
+decode paths exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_compressor_tpu.engine import decode_step, init_cache, prefill
+from llm_compressor_tpu.models import forward, init_params, tiny_config
+from llm_compressor_tpu.models.transformer import stack_model, uniform_layers
+from llm_compressor_tpu.qformats import build_quant_config
+
+
+def test_uniformity_detection():
+    assert uniform_layers(tiny_config("llama", num_layers=4), None)
+    assert not uniform_layers(tiny_config("gemma2"), None)
+    assert not uniform_layers(tiny_config("gemma3"), None)
+
+
+@pytest.mark.parametrize("arch", ["llama", "opt", "bloom", "phi"])
+def test_stacked_forward_matches(arch):
+    cfg = tiny_config(arch, num_layers=3)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 10)))
+    ref = np.asarray(forward(params, cfg, toks))
+    sp = stack_model(params)
+    out = np.asarray(forward(sp, cfg, toks))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_quantized_forward_matches():
+    from llm_compressor_tpu import algorithms as alg
+
+    cfg = tiny_config("llama", hidden_size=128, intermediate_size=256,
+                      num_heads=4, num_kv_heads=4, head_dim=32, num_layers=3)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None, None)
+    alg.rtn(params, cfg, qcfg)
+    alg.pack_model(params, cfg, qcfg)
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (1, 8)))
+    ref = np.asarray(forward(params, cfg, toks, qcfg=qcfg))
+    sp = stack_model(params)
+    out = np.asarray(forward(sp, cfg, toks, qcfg=qcfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_stacked_decode_matches():
+    cfg = tiny_config("llama", num_layers=3, dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    toks = np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 10)).astype(np.int32)
+
+    def run(p):
+        cache = init_cache(cfg.num_layers, 1, 10, cfg.num_kv_heads, cfg.head_dim,
+                           dtype=jnp.float32)
+        logits, cache = prefill(p, jnp.asarray(toks[:, :8]), cache, cfg=cfg)
+        out = [np.asarray(logits)]
+        for t in range(8, 10):
+            logits, cache = decode_step(p, jnp.asarray(toks[:, t:t+1]), cache, cfg=cfg)
+            out.append(np.asarray(logits))
+        return np.stack(out)
+
+    ref = run(params)
+    out = run(stack_model(params))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
