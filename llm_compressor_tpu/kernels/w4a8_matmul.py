@@ -87,7 +87,7 @@ def _call(x_i8, wp, scales, *, group, int4, tm, tn):
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         partial(_w4a8_kernel, group=group, n_groups=n_groups, int4=int4),
-        grid=(_cdiv(M, tm), N // tn),
+        grid=(_cdiv(M, tm), _cdiv(N, tn)),
         in_specs=[
             pl.BlockSpec((tm, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, wp.shape[1]), lambda i, j: (j, 0),
@@ -147,11 +147,14 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     wp = qt.codes.reshape(N, C // 2) if int4 else qt.codes.reshape(N, C)
 
     tm = min(_round_up(M, 32), 256)  # int8 sublane tile is 32
-    tn = next(t for t in (1024, 512, 256, 128) if N % t == 0)
+    # Large TN with a cdiv grid: Mosaic masks the partial boundary block, so
+    # odd row counts (e.g. the 128256-row vocab head) don't force tiny tiles
+    # (TN=256 there costs 3x, measured).
+    tn = 1024 if N >= 1024 else next(t for t in (512, 256, 128) if N % t == 0)
     if M % tm:
         x_i8 = jnp.pad(x_i8, ((0, (-M) % tm), (0, 0)))
     out = _call(x_i8, wp, scales, group=g, int4=int4, tm=tm, tn=tn)
-    out = (out[:M] * sx).astype(x.dtype)
+    out = (out[:M, :N] * sx).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(*lead, N)
