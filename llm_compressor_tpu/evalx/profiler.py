@@ -101,7 +101,7 @@ def profile_model(params, cfg: ModelConfig, qcfg: QuantConfig, tokens: np.ndarra
 
     ctx = capture_layer0(params, cfg, jnp.asarray(tokens), chunk=tokens.shape[0])
     tap_keys = ("attn_in", "o_in", "mlp_in", "down_in", "qk_in1", "qk_in2",
-                "sv_in1", "sv_in2")
+                "qk_out", "sv_in1", "sv_in2", "sv_out")
     for i, lp in enumerate(params["layers"]):
         names = op_names(cfg, i)
         ops = layer_ops(cfg, qcfg, i)
@@ -120,9 +120,11 @@ def profile_model(params, cfg: ModelConfig, qcfg: QuantConfig, tokens: np.ndarra
             _record(csv_path, f"{names['qk']}.input2",
                     qk.act_in.with_axes_flipped() if qk.act_in.eff_axes == -2 else qk.act_in,
                     taps["qk_in2"])
+            _record(csv_path, f"{names['qk']}.output", qk.act_out, taps["qk_out"])
             _record(csv_path, f"{names['sv']}.input1", sv.act_in, taps["sv_in1"])
             _record(csv_path, f"{names['sv']}.input2",
                     sv.act_in.with_axes_flipped() if sv.act_in.eff_axes == -1 else sv.act_in,
                     taps["sv_in2"])
+            _record(csv_path, f"{names['sv']}.output", sv.act_out, taps["sv_out"])
         ctx.hidden = outs
     return csv_path

@@ -290,9 +290,11 @@ def attention(
     scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
 
+    _tap(taps, "qk_out", scores)
     _tap(taps, "sv_in1", probs)
     _tap(taps, "sv_in2", v4)
     out = qmatmul_sv(probs, v4, sv_op).astype(x.dtype)
+    _tap(taps, "sv_out", out)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
     _tap(taps, "o_in", out)
     return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"))
