@@ -56,7 +56,7 @@ def _prefill_one(params, tokens, cache1: KVCache, last_idx, *, cfg, qcfg):
     return last, cache1
 
 
-@partial(jax.jit, static_argnames=("cfg", "qcfg"))
+@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
 def _decode_all(params, tokens, cache: KVCache, active, *, cfg, qcfg):
     """One decode step for every slot; inactive slots advance nowhere."""
     logits, cache = _forward_cached(params, cfg, tokens, cache, None, qcfg)

@@ -188,7 +188,7 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "qcfg"))
+@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
 def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
             qcfg: Optional[QuantConfig] = None):
     """Encode the prompt; returns (last-position logits (B, V), cache)."""
@@ -197,7 +197,7 @@ def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "qcfg"))
+@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
 def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
                 qcfg: Optional[QuantConfig] = None):
     """One token (B, 1) -> (logits (B, V), cache)."""
