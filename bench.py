@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=4, batch=8,
+def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=4, batch=32,
                   prefill_len=128):
     import jax
     import jax.numpy as jnp
@@ -90,7 +90,7 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # never leave the driver without a JSON line
         print(json.dumps({
-            "metric": "llama1b_int4g128_decode_tokens_per_sec_per_chip",
+            "metric": "llama1b_w4a8g128_decode_tokens_per_sec_per_chip",
             "value": 0.0,
             "unit": "tok/s",
             "vs_baseline": 0.0,
