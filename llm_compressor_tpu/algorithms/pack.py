@@ -35,7 +35,12 @@ def pack_model(params, cfg: ModelConfig, qcfg: QuantConfig,
             q = weight_quantizer_for(cfg, qcfg, i, slot, mse=False)
             if q.qtype == "dummy":
                 continue
-            W = get_weight(lp, slot)
+            try:
+                W = get_weight(lp, slot)
+            except KeyError:  # slot fused away (fuse_model) — already packed
+                continue
+            if hasattr(W, "codes"):  # already a QTensor — idempotent
+                continue
             if scale_book is not None and (i, slot) in scale_book:
                 s, z = scale_book[(i, slot)]
                 set_weight(lp, slot, quantize_pack(q, W, scales=s, zeros=z))

@@ -57,6 +57,12 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         qkv = qlinear(x, ap["qkv"]["weight"], ap["qkv"].get("bias"), g("qkv"))
         qkv = qkv.reshape(B, T, H, 3, D)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    elif "qkv_cat" in ap:  # serving-fused q|k|v (see models.transformer.fuse_model)
+        y = qlinear(x, ap["qkv_cat"]["weight"], ap["qkv_cat"].get("bias"), g("q"))
+        hd, kvd = H * D, KV * D
+        q = y[..., :hd].reshape(B, T, H, D)
+        k = y[..., hd:hd + kvd].reshape(B, T, KV, D)
+        v = y[..., hd + kvd:].reshape(B, T, KV, D)
     else:
         q = qlinear(x, ap["q"]["weight"], ap["q"].get("bias"), g("q")).reshape(B, T, H, D)
         k = qlinear(x, ap["k"]["weight"], ap["k"].get("bias"), g("k")).reshape(B, T, KV, D)

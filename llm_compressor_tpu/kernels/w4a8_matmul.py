@@ -8,9 +8,22 @@ weights integer all the way into the MXU (v5e has native int8 matmul):
 
 Per K-group: one int8 x int8 -> int32 MXU dot plus an (M, TN) scale-accum
 on the VPU — elementwise work collapses from O(N*C) to O(M*N*C/g), and the
-int4 unpack is two integer ops per element. With the model's act_in
+int4 unpack is a handful of integer ops per byte. With the model's act_in
 configured as int8 per-token (the reference's W4A8 headline config), this
 computes the SAME quantized matmul the fake-quant path simulates.
+
+Grid: (M/TM, N/TN, K/TK) with a VMEM f32 accumulator revisited along K —
+K-tiling keeps every block sub-MB so Mosaic double-buffers HBM reads even
+for the 8192-wide down projection and the 128k-row vocab head (a full-K
+resident variant blew VMEM there: int32 unpack intermediates reach 16MB).
+Scales are fed pre-transposed as (G, N) strips so the per-group scale is a
+static sublane row per unrolled group (no dynamic lane slicing — Mosaic
+cannot dynamic-slice the lane dim).
+
+Mosaic note (this libtpu): 8-bit elementwise arithmetic (arith.subi /
+shifts on vector<i8>) is unimplemented — the nibble unpack must round-trip
+through int32. That costs ~40% over pre-unpacked int8 storage at small M
+but reads half the HBM bytes.
 
 Activations are quantized outside the kernel (one XLA absmax pass over the
 tiny x) with the reference's restrictive-range semantics (+-127,
@@ -38,77 +51,86 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _w4a8_kernel(x_ref, wp_ref, s_ref, out_ref, acc, *, group: int, n_groups: int,
-                 int4: bool):
-    """Grid (nm, nn); full K resident. x int8 (TM, C); wp packed (TN, C/2 or C);
-    s (TN, n_groups) f32; out (TM, TN) f32 (pre act-scale).
+def _w4a8_kernel(x_ref, wp_ref, st_ref, out_ref, acc, *, group: int, tk: int,
+                 nk: int, int4: bool):
+    """One (TM, TN) output tile, revisited along k.
 
-    int4 path: ONE full-width unpack into lo/hi int8 planes (two mask/shift
-    passes over C/2 lanes), then per group two K=g/2 int8 MXU dots — measured
-    at native-int8 matmul speed on v5e while reading half the bytes."""
-    acc[...] = jnp.zeros_like(acc)
+    x (TM, tk) int8; wp (TN, tk/2) uint8 packed / (TN, tk) int8;
+    st (gpk, TN) f32 transposed scale strip for this k block;
+    out (TM, TN) f32 (pre act-scale); acc (TM, TN) f32 scratch.
+
+    int4 path: per group, unpack the packed bytes into lo/hi int8 planes
+    (int32 mask/shift — 8-bit arith is unavailable) and run two K=g/2 int8
+    MXU dots; 'group halves' packing makes both planes lane-contiguous.
+    """
+    k = pl.program_id(2)
+    gpk = tk // group
     half = group // 2
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
     if int4:
-        wpv = wp_ref[...].astype(jnp.int32)
-        lo_all = ((wpv & 0xF) - 8).astype(jnp.int8)   # (TN, C/2)
-        hi_all = ((wpv >> 4) - 8).astype(jnp.int8)
-        for g in range(n_groups):
-            xlo = x_ref[:, g * group : g * group + half]
-            xhi = x_ref[:, g * group + half : (g + 1) * group]
+        wp = wp_ref[...].astype(jnp.int32)
+        for gi in range(gpk):
+            b = wp[:, gi * half:(gi + 1) * half]
+            lo = ((b & 0xF) - 8).astype(jnp.int8)
+            hi = ((b >> 4) - 8).astype(jnp.int8)
+            xlo = x_ref[:, gi * group: gi * group + half]
+            xhi = x_ref[:, gi * group + half: (gi + 1) * group]
             part = jax.lax.dot_general(
-                xlo, lo_all[:, g * half : (g + 1) * half],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+                xlo, lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
             part += jax.lax.dot_general(
-                xhi, hi_all[:, g * half : (g + 1) * half],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            acc[...] += part.astype(jnp.float32) * s_ref[:, g][None, :]
+                xhi, hi, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc[...] += part.astype(jnp.float32) * st_ref[gi, :][None, :]
     else:
-        for g in range(n_groups):
-            xg = x_ref[:, g * group : (g + 1) * group]
-            wg = wp_ref[:, g * group : (g + 1) * group]
+        for gi in range(gpk):
+            xg = x_ref[:, gi * group:(gi + 1) * group]
+            wg = wp_ref[:, gi * group:(gi + 1) * group]
             part = jax.lax.dot_general(
-                xg, wg,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            acc[...] += part.astype(jnp.float32) * s_ref[:, g][None, :]
-    out_ref[...] = acc[...]
+                xg, wg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc[...] += part.astype(jnp.float32) * st_ref[gi, :][None, :]
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[...] = acc[...]
 
 
-@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn"))
-def _call(x_i8, wp, scales, *, group, int4, tm, tn):
+@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk"))
+def _call(x_i8, wp, scales_t, *, group, int4, tm, tn, tk):
     M, C = x_i8.shape
     N = wp.shape[0]
-    n_groups = C // group
+    nk = C // tk
+    gpk = tk // group
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        partial(_w4a8_kernel, group=group, n_groups=n_groups, int4=int4),
-        grid=(_cdiv(M, tm), _cdiv(N, tn)),
+        partial(_w4a8_kernel, group=group, tk=tk, nk=nk, int4=int4),
+        grid=(_cdiv(M, tm), _cdiv(N, tn), nk),
         in_specs=[
-            pl.BlockSpec((tm, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, wp.shape[1]), lambda i, j: (j, 0),
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk // 2 if int4 else tk), lambda i, j, k: (j, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, n_groups), lambda i, j: (j, 0),
+            pl.BlockSpec((gpk, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * C,
-            bytes_accessed=wp.size + scales.size * 4 + M * C + M * N * 4,
+            bytes_accessed=wp.size + scales_t.size * 4 + M * C + M * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_i8, wp, scales)
+    )(x_i8, wp, scales_t)
 
 
 def quantize_acts_per_token(x: jnp.ndarray):
@@ -132,6 +154,15 @@ def supported(qt: QTensor) -> bool:
             and C % 128 == 0 and g >= 128)
 
 
+def _pick_tk(C: int, g: int) -> int:
+    """Largest whole-group K tile <= 2048 dividing C (>=1 group)."""
+    ng = C // g
+    for m in (16, 8, 4, 2, 1):
+        if m * g <= 2048 and ng % m == 0:
+            return m * g
+    return g
+
+
 def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     """y = act_q(x) @ W^T fully integer on the MXU. Callers should have
     act_in == int8 per-token (this kernel IS that quantizer + matmul)."""
@@ -142,7 +173,7 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     M = x2.shape[0]
 
     x_i8, sx = quantize_acts_per_token(x2)
-    scales = qt.scales.reshape(N, C // g)
+    scales_t = qt.scales.reshape(N, C // g).T  # (G, N): static sublane rows
     int4 = qt.quantizer.fmt == ElemFormat.int4
     wp = qt.codes.reshape(N, C // 2) if int4 else qt.codes.reshape(N, C)
 
@@ -151,9 +182,10 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     # odd row counts (e.g. the 128256-row vocab head) don't force tiny tiles
     # (TN=256 there costs 3x, measured).
     tn = 1024 if N >= 1024 else next(t for t in (512, 256, 128) if N % t == 0)
+    tk = _pick_tk(C, g)
     if M % tm:
         x_i8 = jnp.pad(x_i8, ((0, (-M) % tm), (0, 0)))
-    out = _call(x_i8, wp, scales, group=g, int4=int4, tm=tm, tn=tn)
+    out = _call(x_i8, wp, scales_t, group=g, int4=int4, tm=tm, tn=tn, tk=tk)
     out = (out[:M, :N] * sx).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)

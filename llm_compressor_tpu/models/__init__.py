@@ -14,6 +14,7 @@ from .params import (
 from .transformer import (
     LayerOps,
     arch_slots,
+    fuse_model,
     stack_model,
     uniform_layers,
     decoder_layer,
@@ -90,5 +91,6 @@ __all__ = [
     "init_params", "load_hf_checkpoint", "load_params_from_state_dict",
     "forward", "forward_hidden", "embed", "head", "decoder_layer",
     "make_causal_mask", "op_names", "rope_for_layer", "tiny_config",
-    "LayerOps", "layer_ops", "arch_slots", "stack_model", "uniform_layers",
+    "LayerOps", "layer_ops", "arch_slots", "fuse_model", "stack_model",
+    "uniform_layers",
 ]

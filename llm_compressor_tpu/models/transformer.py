@@ -236,6 +236,12 @@ def attention(
         qkv = qlinear(x, ap["qkv"]["weight"], ap["qkv"].get("bias"), g("qkv"))
         qkv = qkv.reshape(B, T, H, 3, D)  # BLOOM interleave: [head, (q,k,v), dim]
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    elif "qkv_cat" in ap:  # serving-fused q|k|v (see fuse_model)
+        y = qlinear(x, ap["qkv_cat"]["weight"], ap["qkv_cat"].get("bias"), g("q"))
+        hd, kvd = H * D, KV * D
+        q = y[..., :hd].reshape(B, T, H, D)
+        k = y[..., hd:hd + kvd].reshape(B, T, KV, D)
+        v = y[..., hd + kvd:].reshape(B, T, KV, D)
     else:
         q = qlinear(x, ap["q"]["weight"], ap["q"].get("bias"), g("q")).reshape(B, T, H, D)
         k = qlinear(x, ap["k"]["weight"], ap["k"].get("bias"), g("k")).reshape(B, T, KV, D)
@@ -311,8 +317,13 @@ def mlp(layer_params: Params, cfg: ModelConfig, x,
     g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
     _tap(taps, "mlp_in", x)
     if cfg.mlp_style == "gated":
-        gt = qlinear(x, mp["gate"]["weight"], mp["gate"].get("bias"), g("gate"))
-        u = qlinear(x, mp["up"]["weight"], mp["up"].get("bias"), g("up"))
+        if "gateup" in mp:  # serving-fused gate|up (see fuse_model)
+            y = qlinear(x, mp["gateup"]["weight"], mp["gateup"].get("bias"), g("gate"))
+            I = y.shape[-1] // 2
+            gt, u = y[..., :I], y[..., I:]
+        else:
+            gt = qlinear(x, mp["gate"]["weight"], mp["gate"].get("bias"), g("gate"))
+            u = qlinear(x, mp["up"]["weight"], mp["up"].get("bias"), g("up"))
         h = activation(cfg.hidden_act, gt) * u
         _tap(taps, "down_in", h)
         return qlinear(h, mp["down"]["weight"], mp["down"].get("bias"), g("down"))
@@ -393,6 +404,110 @@ def uniform_layers(cfg: ModelConfig, qcfg: Optional[QuantConfig]) -> bool:
         o0 = layer_ops(cfg, qcfg, 0)
         return all(layer_ops(cfg, qcfg, i) == o0 for i in range(cfg.num_layers))
     return True
+
+
+def _concat_linear(entries, axis0_sizes):
+    """Concatenate linear param dicts along the output dim. Weights may be
+    plain arrays or packed QTensors (row-wise group quant: codes and scales
+    both concatenate exactly along the N axis)."""
+    from ..qformats.qtensor import QTensor
+
+    ws = [e["weight"] for e in entries]
+    if isinstance(ws[0], QTensor):
+        q0 = ws[0]
+        N = sum(axis0_sizes)
+        zeros = None
+        if any(w.zeros is not None for w in ws):
+            zeros = jnp.concatenate([w.zeros for w in ws], axis=0)
+        weight = QTensor(
+            codes=jnp.concatenate([w.codes for w in ws], axis=0),
+            scales=jnp.concatenate([w.scales for w in ws], axis=0),
+            zeros=zeros,
+            quantizer=q0.quantizer,
+            shape=(N,) + tuple(q0.shape[1:]),
+            blocked_shape=(N,) + tuple(q0.blocked_shape[1:]),
+            group_axis=q0.group_axis,
+            ngroups_axis=q0.ngroups_axis,
+            dtype=q0.dtype,
+        )
+    else:
+        weight = jnp.concatenate(ws, axis=0)
+    out = {"weight": weight}
+    if any(e.get("bias") is not None for e in entries):
+        dt = ws[0].dtype
+        biases = [
+            e["bias"] if e.get("bias") is not None else jnp.zeros((n,), dt)
+            for e, n in zip(entries, axis0_sizes)
+        ]
+        out["bias"] = jnp.concatenate(biases, axis=0)
+    return out
+
+
+def _fusible(entries, ops: Optional[LayerOps], slots) -> bool:
+    """Slots can fuse when they share one input, identical quantizer
+    behavior, and no output-activation quantizer (quantizing the concatenated
+    output would change per-token grouping semantics only if grouped over N —
+    rw act_out groups along the token axis are safe, but keep it strict)."""
+    from ..qformats.qtensor import QTensor
+
+    if ops is not None:
+        opcfgs = [ops.get(s) for s in slots]
+        if any(o != opcfgs[0] for o in opcfgs[1:]):
+            return False
+        if opcfgs[0] is not None and opcfgs[0].act_out.qtype != "dummy":
+            return False
+    ws = [e["weight"] for e in entries]
+    if any(isinstance(w, QTensor) != isinstance(ws[0], QTensor) for w in ws):
+        return False
+    if isinstance(ws[0], QTensor):
+        q0 = ws[0]
+        if q0.quantizer.eff_axes != -1:
+            return False  # column-wise groups don't concat along N exactly
+        return all(
+            w.quantizer == q0.quantizer
+            and tuple(w.shape[1:]) == tuple(q0.shape[1:])
+            and tuple(w.blocked_shape[1:]) == tuple(q0.blocked_shape[1:])
+            and (w.zeros is None) == (q0.zeros is None)
+            for w in ws
+        )
+    return all(w.ndim == 2 and w.shape[1] == ws[0].shape[1] for w in ws)
+
+
+def fuse_model(params: Params, cfg: ModelConfig,
+               qcfg: Optional[QuantConfig] = None) -> Params:
+    """Serving transform: concatenate q/k/v into one ``qkv_cat`` projection
+    and gate/up into ``gateup`` (per layer, in place).
+
+    One matmul kernel launch and one activation-quant pass replace three
+    (resp. two) — decode is launch-overhead-sensitive at small batch. Exact:
+    the inputs are shared, row-wise group scales concatenate losslessly along
+    the output dim, and the per-token activation quantizer sees the same x.
+    Only applied when every layer fuses identically (keeps the lax.scan
+    serving form uniform)."""
+    layers = params["layers"]
+    can_qkv = not cfg.fused_qkv and all(
+        _fusible([lp["attn"][s] for s in ("q", "k", "v")],
+                 layer_ops(cfg, qcfg, i), ("q", "k", "v"))
+        for i, lp in enumerate(layers)
+    )
+    can_gu = cfg.mlp_style == "gated" and all(
+        _fusible([lp["mlp"][s] for s in ("gate", "up")],
+                 layer_ops(cfg, qcfg, i), ("gate", "up"))
+        for i, lp in enumerate(layers)
+    )
+    H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    for lp in layers:
+        if can_qkv:
+            ap = lp["attn"]
+            ap["qkv_cat"] = _concat_linear(
+                [ap["q"], ap["k"], ap["v"]], [H * D, KV * D, KV * D])
+            del ap["q"], ap["k"], ap["v"]
+        if can_gu:
+            mp = lp["mlp"]
+            I = mp["gate"]["weight"].shape[0]
+            mp["gateup"] = _concat_linear([mp["gate"], mp["up"]], [I, I])
+            del mp["gate"], mp["up"]
+    return params
 
 
 def stack_layers(params: Params):
