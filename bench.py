@@ -18,29 +18,33 @@ import time
 import numpy as np
 
 
-def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=4, batch=32,
+def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=32,
                   prefill_len=128):
     import jax
     import jax.numpy as jnp
 
-    from llm_compressor_tpu.engine import decode_step, init_cache
+    from llm_compressor_tpu.engine import decode_greedy_steps, init_cache
 
     rng = np.random.default_rng(0)
     # Skip the prefill compile (it isn't timed): a zero cache advanced to
-    # prefill_len has identical decode cost to a real one.
-    cache = init_cache(cfg.num_layers, batch, prefill_len + steps + warmup + 2,
+    # prefill_len has identical decode cost to a real one. Greedy decoding
+    # runs as ONE jitted lax.scan over the steps — the serving fast path
+    # (per-dispatch tunnel latency is ~5 ms; see engine.decode_greedy_steps).
+    cache = init_cache(cfg.num_layers, batch,
+                       prefill_len + steps + warmup + 2,
                        cfg.num_kv_heads, cfg.head_dim, quantized=True)
     cache = cache.replace(lengths=jnp.full((batch,), prefill_len, jnp.int32))
 
     tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, 1)).astype(np.int32))
-    for _ in range(warmup):
-        logits, cache = decode_step(params, tok, cache, cfg=cfg, qcfg=qcfg)
-    logits.block_until_ready()
+    # warm call = compile + cache-warm of the SAME n-step executable
+    toks, cache = decode_greedy_steps(params, tok, cache, n=steps,
+                                      cfg=cfg, qcfg=qcfg)
+    toks.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        logits, cache = decode_step(params, tok, cache, cfg=cfg, qcfg=qcfg)
-    logits.block_until_ready()
+    toks, cache = decode_greedy_steps(params, toks[:, -1:], cache, n=steps,
+                                      cfg=cfg, qcfg=qcfg)
+    toks.block_until_ready()
     dt = time.perf_counter() - t0
     return batch * steps / dt
 
@@ -57,7 +61,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
 
     from llm_compressor_tpu.algorithms import pack_model, rtn
-    from llm_compressor_tpu.models import init_params, stack_model
+    from llm_compressor_tpu.models import fuse_model, init_params, stack_model
     from llm_compressor_tpu.qformats import build_quant_config
     from __graft_entry__ import _flagship_cfg
 
@@ -70,10 +74,12 @@ def main():
 
     params = init_params(cfg, jax.random.PRNGKey(0))
 
-    bf16_tps = _bench_decode(stack_model(params), cfg)
+    bf16_tps = _bench_decode(stack_model(fuse_model(
+        jax.tree_util.tree_map(lambda x: x, params), cfg, None)), cfg)
 
     rtn(params, cfg, qcfg)          # weights onto the int4 grid
     pack_model(params, cfg, qcfg)   # real packed QTensors (fused W4A8 path)
+    params = fuse_model(params, cfg, qcfg)  # qkv|gateup concat (one launch)
     params = stack_model(params)    # scan-over-layers: O(1) compile depth
     int4_tps = _bench_decode(params, cfg, qcfg=qcfg)
 

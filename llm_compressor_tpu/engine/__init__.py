@@ -9,7 +9,9 @@ the north star demands: jitted prefill + single-token decode over a real
 
 from .batching import ContinuousBatcher, Request
 from .kvcache import KVCache, init_cache
-from .generate import generate, generate_text, prefill, decode_step
+from .generate import (generate, generate_text, prefill, decode_step,
+                       decode_greedy_steps)
 
 __all__ = ["KVCache", "init_cache", "generate", "generate_text", "prefill",
-           "decode_step", "ContinuousBatcher", "Request"]
+           "decode_step", "decode_greedy_steps", "ContinuousBatcher",
+           "Request"]

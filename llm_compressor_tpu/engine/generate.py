@@ -125,7 +125,7 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
 
     out = qmatmul_sv(probs, v4, sv_op).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
-    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o")), cache
+    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"), slot="o"), cache
 
 
 def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
@@ -210,6 +210,28 @@ def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
     logits, cache = _forward_cached(params, cfg, token, cache, None, qcfg)
     cache = cache.replace(lengths=cache.lengths + 1)
     return logits[:, -1, :], cache
+
+
+@partial(jax.jit, static_argnames=("n", "cfg", "qcfg"), donate_argnums=(2,))
+def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
+                        cfg: ModelConfig, qcfg: Optional[QuantConfig] = None):
+    """``n`` greedy decode steps inside ONE jit (lax.scan with the argmax
+    token fed back) -> (tokens (B, n), cache). ``tokens[:, i]`` is the
+    argmax AFTER consuming ``token`` and i generated predecessors.
+
+    Per-dispatch latency over the axon tunnel measured ~5 ms; batching steps
+    into one dispatch amortizes it. Use for greedy/batch generation; the
+    per-step ``decode_step`` remains for sampling / EOS-reactive loops."""
+
+    def body(carry, _):
+        tok, cc = carry
+        logits, cc = _forward_cached(params, cfg, tok, cc, None, qcfg)
+        cc = cc.replace(lengths=cc.lengths + 1)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        return (nxt, cc), nxt[:, 0]
+
+    (tok, cache), toks = jax.lax.scan(body, (token, cache), length=n)
+    return jnp.swapaxes(toks, 0, 1), cache
 
 
 def _sample(logits, temperature: float, top_k: Optional[int], key):

@@ -157,9 +157,20 @@ def _fp8_kernel(x_ref, w_ref, s_ref, z_ref, out_ref, acc,
 # ---------------------------------------------------------------------------
 
 
+def _dims(qt: QTensor):
+    """(N, C, g) from the *array* shapes — inside a shard_map body the
+    leaves are local shards, so static QTensor metadata (global logical
+    shape) must not be trusted for kernel dispatch."""
+    N, G, last = qt.codes.shape
+    packed4 = (qt.quantizer.fmt == ElemFormat.int4
+               or qt.quantizer.fmt == ElemFormat.fp4_e2m1)
+    g = 2 * last if packed4 else last
+    return N, G * g, g
+
+
 def _supported(qt: QTensor) -> bool:
     q = qt.quantizer
-    if q.eff_axes != -1 or len(qt.shape) != 2:
+    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 3:
         return False
     if q.qtype == "int" and q.fmt in (ElemFormat.int4, ElemFormat.int8):
         pass
@@ -167,8 +178,9 @@ def _supported(qt: QTensor) -> bool:
         pass
     else:
         return False
-    N, C = qt.shape
-    g = qt.blocked_shape[qt.group_axis]
+    N, C, g = _dims(qt)
+    if qt.shape[-1] % g:  # logical C was padded at pack time -> XLA path
+        return False
     if not (C % g == 0 and g % 2 == 0 and N % 128 == 0 and C % 128 == 0 and g >= 128):
         return False
     # int4 K-blocks must yield a packed lane dim that tiles (>=128 bytes)
@@ -229,8 +241,7 @@ def dequant_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
         return dequant_matmul_xla(x, qt, bias)
 
     q = qt.quantizer
-    N, C = qt.shape
-    g = qt.blocked_shape[qt.group_axis]
+    N, C, g = _dims(qt)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, C)
     M = x2.shape[0]

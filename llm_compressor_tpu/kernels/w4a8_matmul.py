@@ -51,13 +51,18 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _w4a8_kernel(x_ref, wp_ref, st_ref, out_ref, acc, *, group: int, tk: int,
-                 nk: int, int4: bool):
+def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
+                 tk: int, nk: int, int4: bool):
     """One (TM, TN) output tile, revisited along k.
 
     x (TM, tk) int8; wp (TN, tk/2) uint8 packed / (TN, tk) int8;
     st (gpk, TN) f32 transposed scale strip for this k block;
-    out (TM, TN) f32 (pre act-scale); acc (TM, TN) f32 scratch.
+    sx (TM, 1) f32 per-token act scale (epilogue); out (TM, TN) bf16;
+    acc (TM, TN) f32 scratch.
+
+    The act-scale multiply and bf16 cast run in the epilogue so the (M, N)
+    f32 intermediate never round-trips HBM (at decode batch sizes that f32
+    traffic was comparable to the packed weight bytes).
 
     int4 path: per group, unpack the packed bytes into lo/hi int8 planes
     (int32 mask/shift — 8-bit arith is unavailable) and run two K=g/2 int8
@@ -97,11 +102,13 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, out_ref, acc, *, group: int, tk: int,
 
     @pl.when(k == nk - 1)
     def _():
-        out_ref[...] = acc[...]
+        out_ref[...] = (acc[...] * sx_ref[...]).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk"))
-def _call(x_i8, wp, scales_t, *, group, int4, tm, tn, tk):
+@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
+                                   "out_dtype"))
+def _call(x_i8, wp, scales_t, sx, *, group, int4, tm, tn, tk,
+          out_dtype=jnp.bfloat16):
     M, C = x_i8.shape
     N = wp.shape[0]
     nk = C // tk
@@ -116,40 +123,58 @@ def _call(x_i8, wp, scales_t, *, group, int4, tm, tn, tk):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gpk, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), out_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * C,
-            bytes_accessed=wp.size + scales_t.size * 4 + M * C + M * N * 4,
+            bytes_accessed=wp.size + scales_t.size * 4 + M * C + M * N * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_i8, wp, scales_t)
+    )(x_i8, wp, scales_t, sx)
 
 
-def quantize_acts_per_token(x: jnp.ndarray):
-    """Per-token symmetric int8 (reference int8-g[-1]-rw semantics)."""
+def quantize_acts_per_token(x: jnp.ndarray, absmax_axis=None):
+    """Per-token symmetric int8 (reference int8-g[-1]-rw semantics).
+
+    ``absmax_axis``: shard_map axis name for a pmax over tensor-parallel
+    shards of the row — keeps the scale identical to single-chip execution
+    when the contraction dim is sharded."""
     x32 = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    if absmax_axis is not None:
+        absmax = jax.lax.pmax(absmax, absmax_axis)
     scale = jnp.maximum(absmax / 127.0, 1e-5)
     q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
 
+def _dims(qt: QTensor):
+    """(N, C, g) from the *array* shapes — inside a shard_map body the
+    leaves are local shards, so static QTensor metadata (global logical
+    shape) must not be trusted for kernel dispatch."""
+    N, G, last = qt.codes.shape
+    g = 2 * last if qt.quantizer.fmt == ElemFormat.int4 else last
+    return N, G * g, g
+
+
 def supported(qt: QTensor) -> bool:
     q = qt.quantizer
-    if q.eff_axes != -1 or len(qt.shape) != 2 or q.zero_point:
+    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 3 or q.zero_point:
         return False
     if not (q.qtype == "int" and q.fmt in (ElemFormat.int4, ElemFormat.int8)):
         return False
-    N, C = qt.shape
-    g = qt.blocked_shape[qt.group_axis]
+    N, C, g = _dims(qt)
+    if qt.shape[-1] % g:  # logical C was padded at pack time -> XLA path
+        return False
     return (C % g == 0 and g % 256 in (0, 128) and N % 128 == 0
             and C % 128 == 0 and g >= 128)
 
@@ -163,16 +188,16 @@ def _pick_tk(C: int, g: int) -> int:
     return g
 
 
-def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
+def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
+                absmax_axis=None) -> jnp.ndarray:
     """y = act_q(x) @ W^T fully integer on the MXU. Callers should have
     act_in == int8 per-token (this kernel IS that quantizer + matmul)."""
-    N, C = qt.shape
-    g = qt.blocked_shape[qt.group_axis]
+    N, C, g = _dims(qt)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, C)
     M = x2.shape[0]
 
-    x_i8, sx = quantize_acts_per_token(x2)
+    x_i8, sx = quantize_acts_per_token(x2, absmax_axis)
     scales_t = qt.scales.reshape(N, C // g).T  # (G, N): static sublane rows
     int4 = qt.quantizer.fmt == ElemFormat.int4
     wp = qt.codes.reshape(N, C // 2) if int4 else qt.codes.reshape(N, C)
@@ -184,9 +209,13 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
     tn = 1024 if N >= 1024 else next(t for t in (512, 256, 128) if N % t == 0)
     tk = _pick_tk(C, g)
     if M % tm:
-        x_i8 = jnp.pad(x_i8, ((0, (-M) % tm), (0, 0)))
-    out = _call(x_i8, wp, scales_t, group=g, int4=int4, tm=tm, tn=tn, tk=tk)
-    out = (out[:M, :N] * sx).astype(x.dtype)
+        pad = (-M) % tm
+        x_i8 = jnp.pad(x_i8, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
+    out = _call(x_i8, wp, scales_t, sx.astype(jnp.float32),
+                group=g, int4=int4, tm=tm, tn=tn, tk=tk,
+                out_dtype=jnp.dtype(x.dtype))
+    out = out[:M, :N]
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(*lead, N)

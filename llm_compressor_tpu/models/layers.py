@@ -17,6 +17,7 @@ the contraction dim) maps 1:1.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -153,6 +154,25 @@ def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
 # Quantization-aware linear / matmul
 # ---------------------------------------------------------------------------
 
+# Tensor-parallel trace context (set by parallel.tp while tracing a
+# shard_map body). Row-parallel slots have their contraction dim sharded:
+# the local matmul yields a partial sum that must be psum'ed over the model
+# axis BEFORE bias / output quantization; their per-token activation scales
+# need a global (pmax) absmax so numerics match single-chip execution.
+_TP = {"axis": None}
+_TP_ROW_SLOTS = frozenset(("o", "down", "fc2"))
+
+
+@contextmanager
+def tp_trace(axis: str):
+    """Enable TP-aware qlinear behavior while tracing a shard_map body."""
+    prev = _TP["axis"]
+    _TP["axis"] = axis
+    try:
+        yield
+    finally:
+        _TP["axis"] = prev
+
 
 def maybe_quant(q: Optional[Quantizer], x):
     if q is None or q.qtype == "dummy":
@@ -160,14 +180,35 @@ def maybe_quant(q: Optional[Quantizer], x):
     return quantize_dequant(q, x)
 
 
-def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None):
+def _quant_global_per_token(q: Quantizer, x, axis_name: str):
+    """Per-token fake quant with the absmax taken over the full (sharded)
+    row via pmax — exact single-chip semantics under tensor parallelism.
+    Only int per-token symmetric is supported (the serving act config);
+    other quantizers fall back to local stats."""
+    if not (q.qtype == "int" and q.group_size == -1 and not q.zero_point):
+        return quantize_dequant(q, x)
+    qmax = float(q.params.int_max)
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    absmax = jax.lax.pmax(absmax, axis_name)
+    scale = jnp.maximum(absmax / qmax, 1e-9)
+    return (jnp.clip(jnp.round(x32 / scale), -qmax, qmax) * scale).astype(x.dtype)
+
+
+def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None,
+            slot: Optional[str] = None):
     """y = act_out_q( act_in_q(x) @ W^T + b ).
 
     ``weight`` is (out, in) — a jnp array (bf16 or pre-fake-quantized by
     calibration) or a packed QTensor (dequantized here on the XLA path; the
     Pallas fused kernel path lives in kernels/dequant_matmul.py and is
-    selected by the engine).
+    selected by the engine). ``slot`` names the projection for TP-aware
+    execution (row-parallel slots psum partial sums inside a shard_map).
     """
+    tp_axis = _TP["axis"]
+    row_par = tp_axis is not None and slot in _TP_ROW_SLOTS
+    mm_bias = None if row_par else bias
+
     if isinstance(weight, QTensor):
         # Packed execution. With int8 per-token act_in, the fused W4A8
         # kernel IS the activation quantizer + integer matmul; otherwise
@@ -180,23 +221,30 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None):
         if (ai is not None and ai.qtype == "int" and ai.fmt == ElemFormat.int8
                 and ai.group_size == -1 and not ai.zero_point
                 and w4a8_supported(weight)):
-            y = w4a8_matmul(x, weight, bias)
+            y = w4a8_matmul(x, weight, mm_bias,
+                            absmax_axis=tp_axis if row_par else None)
         else:
             if op is not None:
-                x = maybe_quant(op.act_in, x)
-            y = dequant_matmul(x, weight, bias)
+                x = (_quant_global_per_token(op.act_in, x, tp_axis)
+                     if row_par and op.act_in.qtype != "dummy"
+                     else maybe_quant(op.act_in, x))
+            y = dequant_matmul(x, weight, mm_bias)
+    else:
         if op is not None:
-            y = maybe_quant(op.act_out, y)
-        return y
-    if op is not None:
-        x = maybe_quant(op.act_in, x)
-    y = jax.lax.dot_general(
-        x, weight,
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    if bias is not None:
-        y = y + bias.astype(y.dtype)
+            x = (_quant_global_per_token(op.act_in, x, tp_axis)
+                 if row_par and op.act_in.qtype != "dummy"
+                 else maybe_quant(op.act_in, x))
+        y = jax.lax.dot_general(
+            x, weight,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if mm_bias is not None:
+            y = y + mm_bias.astype(y.dtype)
+    if row_par:
+        y = jax.lax.psum(y, tp_axis)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
     if op is not None:
         y = maybe_quant(op.act_out, y)
     return y

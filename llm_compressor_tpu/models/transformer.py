@@ -303,7 +303,7 @@ def attention(
     _tap(taps, "sv_out", out)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
     _tap(taps, "o_in", out)
-    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"))
+    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"), slot="o")
 
 
 # ---------------------------------------------------------------------------
@@ -326,11 +326,11 @@ def mlp(layer_params: Params, cfg: ModelConfig, x,
             u = qlinear(x, mp["up"]["weight"], mp["up"].get("bias"), g("up"))
         h = activation(cfg.hidden_act, gt) * u
         _tap(taps, "down_in", h)
-        return qlinear(h, mp["down"]["weight"], mp["down"].get("bias"), g("down"))
+        return qlinear(h, mp["down"]["weight"], mp["down"].get("bias"), g("down"), slot="down")
     h = qlinear(x, mp["fc1"]["weight"], mp["fc1"].get("bias"), g("fc1"))
     h = activation(cfg.hidden_act, h)
     _tap(taps, "down_in", h)
-    return qlinear(h, mp["fc2"]["weight"], mp["fc2"].get("bias"), g("fc2"))
+    return qlinear(h, mp["fc2"]["weight"], mp["fc2"].get("bias"), g("fc2"), slot="fc2")
 
 
 # ---------------------------------------------------------------------------

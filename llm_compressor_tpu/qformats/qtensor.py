@@ -196,13 +196,29 @@ def dequantize(qt: QTensor) -> jnp.ndarray:
         z = qt.zeros if qt.zeros is not None else 0.0
         vals = qv * qt.scales + z
 
-    # Unblock: merge (n_groups, group) and strip padding back to logical shape.
+    # Unblock: merge (n_groups, group) and strip padding back to logical
+    # shape. When packing didn't pad (the common case), shapes are derived
+    # from the *arrays*: inside a shard_map body the leaves are local shards
+    # and the static (global) metadata must not be trusted.
+    import math
+
     from .blocking import BlockMeta
 
+    padded = math.prod(qt.blocked_shape) != math.prod(qt.shape)
+    if padded:
+        blocked = qt.blocked_shape
+        orig_len = qt.shape[qt.ngroups_axis]
+    else:
+        packed4 = q.fmt in (ElemFormat.int4, ElemFormat.fp4_e2m1)
+        bs = list(qt.codes.shape)
+        bs[intra] *= 2 if packed4 else 1
+        blocked = tuple(bs)
+        a = qt.ngroups_axis
+        orig_len = blocked[a] * blocked[a + 1]
     meta = BlockMeta(
         axis=qt.ngroups_axis,
-        orig_len=qt.shape[qt.ngroups_axis],
-        group=qt.blocked_shape[intra],
-        blocked_shape=qt.blocked_shape,
+        orig_len=orig_len,
+        group=blocked[intra],
+        blocked_shape=blocked,
     )
-    return unblock(vals.reshape(qt.blocked_shape), meta).astype(qt.dtype)
+    return unblock(vals.reshape(blocked), meta).astype(qt.dtype)

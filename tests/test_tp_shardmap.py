@@ -1,0 +1,90 @@
+"""shard_map tensor-parallel serving: parity with single-device decode.
+
+Explicit-collective TP (parallel/tp.py): column/row-parallel weights, psum
+per row-parallel projection, pmax-global per-token act scales, KV cache
+sharded over heads, batch over data. Must match the single-device engine
+bit-for-bit in f32 (same quantized numerics by construction).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_compressor_tpu.algorithms import pack_model, rtn
+from llm_compressor_tpu.engine import decode_step, init_cache, prefill
+from llm_compressor_tpu.models import init_params, stack_model, tiny_config
+from llm_compressor_tpu.parallel import (
+    make_mesh, tp_init_cache, tp_serve_fns, tp_shard_params, tp_supported)
+from llm_compressor_tpu.qformats import build_quant_config
+
+
+def _reference(params, cfg, qcfg, toks, quantized_kv):
+    cache = init_cache(cfg.num_layers, toks.shape[0], 16, cfg.num_kv_heads,
+                       cfg.head_dim, dtype=jnp.float32, quantized=quantized_kv)
+    logits, cache = prefill(params, jnp.asarray(toks), cache, cfg=cfg, qcfg=qcfg)
+    step, cache = decode_step(params, jnp.asarray(toks[:, :1]), cache,
+                              cfg=cfg, qcfg=qcfg)
+    return np.asarray(logits), np.asarray(step)
+
+
+@pytest.mark.parametrize("arch,n_data,n_model", [
+    ("llama", 2, 2), ("llama", 1, 4), ("qwen2", 2, 2), ("phi", 1, 2),
+])
+def test_tp_decode_matches_single_device(arch, n_data, n_model):
+    kv = {"num_kv_heads": 4} if n_model == 4 else {}
+    cfg = tiny_config(arch, dtype="float32", **kv)
+    assert tp_supported(cfg, n_model)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2 * n_data, 8)).astype(np.int32)
+
+    ref_logits, ref_step = _reference(stack_model(
+        jax.tree_util.tree_map(lambda x: x, params)), cfg, None, toks, False)
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model,
+                     devices=jax.devices()[: n_data * n_model])
+    sp = tp_shard_params(stack_model(params), cfg, mesh)
+    pre, dec = tp_serve_fns(sp, cfg, mesh, qcfg=None)
+    cache = tp_init_cache(cfg, mesh, toks.shape[0], 16, quantized=False,
+                          dtype=jnp.float32)
+    logits, cache = pre(sp, jnp.asarray(toks), cache)
+    step, cache = dec(sp, jnp.asarray(toks[:, :1]), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_packed_w4a8_matches_single_device():
+    """Packed int4 weights + int8 per-token acts + int8 KV under TP: the
+    pmax-global act scales keep numerics identical to single-chip."""
+    cfg = tiny_config("llama", dtype="float32")
+    qcfg = build_quant_config("int4-g[32]-rw", "int8-g[-1]-rw", None, None)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    rtn(params, cfg, qcfg)
+    pack_model(params, cfg, qcfg)
+    toks = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 6)).astype(np.int32)
+
+    ref_logits, ref_step = _reference(stack_model(
+        jax.tree_util.tree_map(lambda x: x, params)), cfg, qcfg, toks, True)
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    sp = tp_shard_params(stack_model(params), cfg, mesh)
+    pre, dec = tp_serve_fns(sp, cfg, mesh, qcfg=qcfg)
+    cache = tp_init_cache(cfg, mesh, 2, 16, quantized=True)
+    logits, cache = pre(sp, jnp.asarray(toks), cache)
+    step, cache = dec(sp, jnp.asarray(toks[:, :1]), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_rejects_fused_and_alibi():
+    cfg = tiny_config("bloom")
+    assert not tp_supported(cfg, 2)
+    cfg = tiny_config("llama")
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    params = stack_model(init_params(cfg, jax.random.PRNGKey(0)))
+    from llm_compressor_tpu.models import fuse_model
+    # fused serving params cannot TP-shard -> explicit error
+    fused = stack_model(fuse_model(init_params(cfg, jax.random.PRNGKey(0)), cfg))
+    with pytest.raises(ValueError):
+        tp_shard_params(fused, cfg, mesh)
