@@ -406,10 +406,26 @@ def uniform_layers(cfg: ModelConfig, qcfg: Optional[QuantConfig]) -> bool:
     return True
 
 
-def _concat_linear(entries, axis0_sizes):
+def _shard_interleave(arrs, shards: int):
+    """Concat [a0_s | a1_s | ...] per shard s along axis 0 — shard s of the
+    result (row-sharded over ``shards`` devices) is exactly the fused block
+    of each input's shard s (tensor-parallel fused layout)."""
+    if shards == 1:
+        return jnp.concatenate(arrs, axis=0)
+    pieces = []
+    for s in range(shards):
+        for a in arrs:
+            n = a.shape[0] // shards
+            pieces.append(a[s * n:(s + 1) * n])
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _concat_linear(entries, axis0_sizes, shards: int = 1):
     """Concatenate linear param dicts along the output dim. Weights may be
     plain arrays or packed QTensors (row-wise group quant: codes and scales
-    both concatenate exactly along the N axis)."""
+    both concatenate exactly along the N axis). ``shards`` > 1 produces the
+    per-shard interleaved layout for tensor-parallel serving — such params
+    are only valid on a matching TP mesh."""
     from ..qformats.qtensor import QTensor
 
     ws = [e["weight"] for e in entries]
@@ -418,10 +434,10 @@ def _concat_linear(entries, axis0_sizes):
         N = sum(axis0_sizes)
         zeros = None
         if any(w.zeros is not None for w in ws):
-            zeros = jnp.concatenate([w.zeros for w in ws], axis=0)
+            zeros = _shard_interleave([w.zeros for w in ws], shards)
         weight = QTensor(
-            codes=jnp.concatenate([w.codes for w in ws], axis=0),
-            scales=jnp.concatenate([w.scales for w in ws], axis=0),
+            codes=_shard_interleave([w.codes for w in ws], shards),
+            scales=_shard_interleave([w.scales for w in ws], shards),
             zeros=zeros,
             quantizer=q0.quantizer,
             shape=(N,) + tuple(q0.shape[1:]),
@@ -431,7 +447,7 @@ def _concat_linear(entries, axis0_sizes):
             dtype=q0.dtype,
         )
     else:
-        weight = jnp.concatenate(ws, axis=0)
+        weight = _shard_interleave(ws, shards)
     out = {"weight": weight}
     if any(e.get("bias") is not None for e in entries):
         dt = ws[0].dtype
@@ -439,7 +455,7 @@ def _concat_linear(entries, axis0_sizes):
             e["bias"] if e.get("bias") is not None else jnp.zeros((n,), dt)
             for e, n in zip(entries, axis0_sizes)
         ]
-        out["bias"] = jnp.concatenate(biases, axis=0)
+        out["bias"] = _shard_interleave(biases, shards)
     return out
 
 
@@ -474,7 +490,7 @@ def _fusible(entries, ops: Optional[LayerOps], slots) -> bool:
 
 
 def fuse_model(params: Params, cfg: ModelConfig,
-               qcfg: Optional[QuantConfig] = None) -> Params:
+               qcfg: Optional[QuantConfig] = None, shards: int = 1) -> Params:
     """Serving transform: concatenate q/k/v into one ``qkv_cat`` projection
     and gate/up into ``gateup`` (per layer, in place).
 
@@ -483,8 +499,16 @@ def fuse_model(params: Params, cfg: ModelConfig,
     the inputs are shared, row-wise group scales concatenate losslessly along
     the output dim, and the per-token activation quantizer sees the same x.
     Only applied when every layer fuses identically (keeps the lax.scan
-    serving form uniform)."""
+    serving form uniform).
+
+    ``shards`` > 1 interleaves the concat per tensor-parallel shard so the
+    fused weight row-shards over a ``shards``-way model axis (parallel/tp.py)
+    — each device's block is its own [q_s|k_s|v_s]. Such params only run
+    correctly under that TP layout."""
     layers = params["layers"]
+    if shards > 1 and (cfg.num_heads % shards or cfg.num_kv_heads % shards
+                       or cfg.intermediate_size % shards):
+        raise ValueError(f"heads/ffn not divisible by shards={shards}")
     can_qkv = not cfg.fused_qkv and all(
         _fusible([lp["attn"][s] for s in ("q", "k", "v")],
                  layer_ops(cfg, qcfg, i), ("q", "k", "v"))
@@ -500,12 +524,14 @@ def fuse_model(params: Params, cfg: ModelConfig,
         if can_qkv:
             ap = lp["attn"]
             ap["qkv_cat"] = _concat_linear(
-                [ap["q"], ap["k"], ap["v"]], [H * D, KV * D, KV * D])
+                [ap["q"], ap["k"], ap["v"]], [H * D, KV * D, KV * D],
+                shards=shards)
             del ap["q"], ap["k"], ap["v"]
         if can_gu:
             mp = lp["mlp"]
             I = mp["gate"]["weight"].shape[0]
-            mp["gateup"] = _concat_linear([mp["gate"], mp["up"]], [I, I])
+            mp["gateup"] = _concat_linear([mp["gate"], mp["up"]], [I, I],
+                                          shards=shards)
             del mp["gate"], mp["up"]
     return params
 

@@ -22,10 +22,13 @@ the kernels read dims from the *local* array shapes (kernels/*._dims), so
 each device runs the Pallas kernel on its own shard — no gathers, by
 construction.
 
+Serving-fused qkv_cat/gateup params shard only in the per-shard
+interleaved layout — build them with ``fuse_model(..., shards=n_model)``
+and pass ``fused=True`` here.
+
 Not supported (falls back to the GSPMD path): ALiBi (slopes are a function
-of the global head index), fused-QKV archs (BLOOM), serving-fused qkv_cat /
-gateup params (their concat layout does not shard evenly), non-divisible
-head/ffn counts.
+of the global head index), fused-QKV archs (BLOOM), non-divisible head/ffn
+counts.
 """
 
 from __future__ import annotations
@@ -59,9 +62,11 @@ def _qt_ok(leaf, axis: int, n: int) -> bool:
     return leaf.shape[axis] % n == 0
 
 
-def _leaf_spec(path_keys, leaf, n_model: int) -> P:
+def _leaf_spec(path_keys, leaf, n_model: int, fused: bool = False) -> P:
     """shard_map PartitionSpec for one serving-param leaf (stacked layers:
-    leading L axis stays unsharded)."""
+    leading L axis stays unsharded). ``fused`` allows qkv_cat/gateup params
+    (column-parallel) when they were built with fuse_model(shards=n_model)
+    — the per-shard interleaved layout."""
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path_keys]
     names = [getattr(k, "name", None) for k in path_keys]
     stacked = "layers_stacked" in keys
@@ -71,13 +76,14 @@ def _leaf_spec(path_keys, leaf, n_model: int) -> P:
         if k in ("attn", "mlp") and i + 1 < len(keys):
             slot = keys[i + 1]
             leafname = keys[-1] if keys[-1] is not None else names[-1]
-            if slot in ("qkv_cat", "gateup"):
+            if slot in ("qkv_cat", "gateup") and not fused:
                 raise ValueError(
-                    "serving-fused qkv_cat/gateup params cannot TP-shard; "
-                    "fuse after sharding or use unfused params")
+                    "serving-fused qkv_cat/gateup params require "
+                    "fuse_model(shards=n_model) + fused=True (per-shard "
+                    "interleaved layout); plain fused params cannot TP-shard")
             if slot in ("q_norm", "k_norm"):
                 return P()
-            col = slot in _COL_SLOTS
+            col = slot in _COL_SLOTS or slot in ("qkv_cat", "gateup")
             row = slot in _ROW_SLOTS
             if not (col or row):
                 return P()
@@ -104,9 +110,9 @@ def _leaf_spec(path_keys, leaf, n_model: int) -> P:
     return P()
 
 
-def tp_param_specs(params, n_model: int):
+def tp_param_specs(params, n_model: int, fused: bool = False):
     return jax.tree_util.tree_map_with_path(
-        lambda p, leaf: _leaf_spec(p, leaf, n_model), params)
+        lambda p, leaf: _leaf_spec(p, leaf, n_model, fused), params)
 
 
 def tp_cache_specs(cache: KVCache):
@@ -129,10 +135,12 @@ def tp_init_cache(cfg: ModelConfig, mesh: Mesh, batch: int, max_len: int,
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs)
 
 
-def tp_shard_params(params, cfg: ModelConfig, mesh: Mesh):
-    """device_put serving params (stacked or per-layer) with TP shardings."""
+def tp_shard_params(params, cfg: ModelConfig, mesh: Mesh,
+                    fused: bool = False):
+    """device_put serving params (stacked or per-layer) with TP shardings.
+    ``fused=True`` declares fuse_model(shards=n_model) interleaved params."""
     n_model = int(mesh.shape["model"])
-    specs = tp_param_specs(params, n_model)
+    specs = tp_param_specs(params, n_model, fused)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
@@ -143,7 +151,7 @@ def _local_cfg(cfg: ModelConfig, n_model: int) -> ModelConfig:
 
 
 def tp_serve_fns(params, cfg: ModelConfig, mesh: Mesh,
-                 qcfg: Optional[QuantConfig] = None):
+                 qcfg: Optional[QuantConfig] = None, fused: bool = False):
     """Build (prefill_fn, decode_fn) running inside shard_map.
 
     ``params`` is only used for spec structure (pass the sharded params to
@@ -155,7 +163,7 @@ def tp_serve_fns(params, cfg: ModelConfig, mesh: Mesh,
     if not tp_supported(cfg, n_model):
         raise ValueError(f"arch {cfg.arch} not TP-shardable over {n_model}")
     lcfg = _local_cfg(cfg, n_model)
-    pspecs = tp_param_specs(params, n_model)
+    pspecs = tp_param_specs(params, n_model, fused)
     vocab_sharded = "lm_head" in params
     logits_spec = P("data", "model") if vocab_sharded else P("data", None)
 

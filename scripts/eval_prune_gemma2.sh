@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# WikiText-2 ppl sweep: gemma2 family x pruning methods at 30% sparsity
+# (reference scripts/eval_prune_gemma2.sh).
+set -e
+MODELS=${MODELS:-"/models/gemma-2-2b-it"}
+for M in $MODELS; do
+  NAME=$(basename "$M")
+  for METHOD in magnitude wanda sparsegpt ria; do
+    python examples/gemma2.py --model "$M" --exp "${NAME}-prune-${METHOD}" \
+      --prune --prune-method "$METHOD" --sparsity 0.3 --tasks ppl
+  done
+done

@@ -82,9 +82,33 @@ def test_tp_rejects_fused_and_alibi():
     assert not tp_supported(cfg, 2)
     cfg = tiny_config("llama")
     mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
-    params = stack_model(init_params(cfg, jax.random.PRNGKey(0)))
     from llm_compressor_tpu.models import fuse_model
-    # fused serving params cannot TP-shard -> explicit error
+    # plain (shards=1) fused params cannot TP-shard -> explicit error
     fused = stack_model(fuse_model(init_params(cfg, jax.random.PRNGKey(0)), cfg))
     with pytest.raises(ValueError):
         tp_shard_params(fused, cfg, mesh)
+
+
+def test_tp_interleave_fused_matches_single_device():
+    """fuse_model(shards=n) + fused=True: fused qkv/gateup under TP."""
+    from llm_compressor_tpu.models import fuse_model
+
+    cfg = tiny_config("llama", dtype="float32")
+    qcfg = build_quant_config("int4-g[32]-rw", "int8-g[-1]-rw", None, None)
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    rtn(params, cfg, qcfg)
+    pack_model(params, cfg, qcfg)
+    toks = np.random.default_rng(2).integers(0, cfg.vocab_size, (2, 6)).astype(np.int32)
+
+    ref_logits, ref_step = _reference(stack_model(
+        jax.tree_util.tree_map(lambda x: x, params)), cfg, qcfg, toks, True)
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    fused = stack_model(fuse_model(params, cfg, qcfg, shards=2))
+    sp = tp_shard_params(fused, cfg, mesh, fused=True)
+    pre, dec = tp_serve_fns(sp, cfg, mesh, qcfg=qcfg, fused=True)
+    cache = tp_init_cache(cfg, mesh, 2, 16, quantized=True)
+    logits, cache = pre(sp, jnp.asarray(toks), cache)
+    step, cache = dec(sp, jnp.asarray(toks[:, :1]), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-3, atol=2e-3)
