@@ -24,8 +24,6 @@ from ..models.layers import (
     alibi_bias,
     layer_norm,
     qlinear,
-    qmatmul_qk,
-    qmatmul_sv,
     rms_norm,
     softcap,
 )
@@ -92,39 +90,70 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
     K, V = read(cache, layer_idx, dtype=x.dtype)   # (B, S, KV, D)
     S = K.shape[1]
 
-    if KV != H:
-        r = H // KV
-        K = jnp.broadcast_to(K[:, :, :, None, :], (B, S, KV, r, D)).reshape(B, S, H, D)
-        V = jnp.broadcast_to(V[:, :, :, None, :], (B, S, KV, r, D)).reshape(B, S, H, D)
-
-    q4 = q.transpose(0, 2, 1, 3)            # (B, H, T, D)
-    k4t = K.transpose(0, 2, 3, 1)           # (B, H, D, S)
-    v4 = V.transpose(0, 2, 1, 3)            # (B, H, S, D)
-
+    # Grouped-query attention WITHOUT materializing the KV->H broadcast
+    # (at decode that broadcast + transposes dominate HBM traffic:
+    # ~2*r*S*KV*D bf16 per layer). Query heads grouped (B, T, KV, r, D);
+    # contractions run per kv-head group. Numerically identical to the
+    # eval path's broadcast attention (models/transformer.py:attention) —
+    # the activation quantizers see the same rows (per-token groups are
+    # over the last axis, which reshapes preserve).
+    r = H // KV
+    q5 = q.reshape(B, T, KV, r, D)
     scale = cfg.attn_scale
     qk_op = ops.qk if ops is not None else None
     sv_op = ops.sv if ops is not None else None
     if cfg.arch in ("opt", "bloom"):
-        q4 = q4 * jnp.asarray(scale, q4.dtype)
-        scores = qmatmul_qk(q4, k4t, qk_op)
+        q5 = q5 * jnp.asarray(scale, q5.dtype)
+
+    from ..models.layers import maybe_quant
+    from ..qformats import quantize_dequant
+
+    if qk_op is not None and qk_op.act_in.qtype != "dummy":
+        q5 = maybe_quant(qk_op.act_in, q5)
+        q2 = qk_op.act_in
+        q2 = q2.with_axes_flipped() if q2.eff_axes == -2 else q2
+        kt = jnp.transpose(K, (0, 2, 3, 1))          # (B, KV, D, S)
+        kt = quantize_dequant(q2, kt)
+        scores = jnp.einsum("btkrd,bkds->bkrts", q5, kt,
+                            preferred_element_type=jnp.float32)
     else:
-        scores = qmatmul_qk(q4, k4t, qk_op) * scale
+        scores = jnp.einsum("btkrd,bskd->bkrts", q5, K,
+                            preferred_element_type=jnp.float32)
+    if qk_op is not None:
+        scores = maybe_quant(qk_op.act_out,
+                             scores.astype(x.dtype)).astype(jnp.float32)
+    if cfg.arch not in ("opt", "bloom"):
+        scores = scores * scale
 
     kv_pos = jnp.arange(S)
     if cfg.pos_embedding == "alibi":
-        scores = scores + alibi_bias(H, kv_pos)[None, :, :, :]
+        # (H, 1, S) -> (1, KV, r, 1, S); head h = kv*r + j ordering
+        scores = scores + alibi_bias(H, kv_pos).reshape(KV, r, 1, S)[None]
 
     scores = softcap(scores, cfg.attn_logit_softcapping)
-    qp = positions[:, None, :, None]        # (B, 1, T, 1)
-    kp = kv_pos[None, None, None, :]
+    qp = positions[:, None, None, :, None]   # (B, 1, 1, T, 1)
+    kp = kv_pos[None, None, None, None, :]
     keep = kp <= qp
     if cfg.sliding_window is not None and cfg.layer_type(layer_idx) == "sliding_attention":
         keep &= kp > qp - cfg.sliding_window
     scores = scores + jnp.where(keep, 0.0, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)  # (B,KV,r,T,S)
 
-    out = qmatmul_sv(probs, v4, sv_op).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+    if sv_op is not None and sv_op.act_in.qtype != "dummy":
+        probs = maybe_quant(sv_op.act_in, probs)
+        q2 = sv_op.act_in
+        q2 = q2.with_axes_flipped() if q2.eff_axes == -1 else q2
+        vt = jnp.transpose(V, (0, 2, 1, 3))          # (B, KV, S, D)
+        vt = quantize_dequant(q2, vt)
+        out = jnp.einsum("bkrts,bksd->btkrd", probs, vt,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bkrts,bskd->btkrd", probs, V,
+                         preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
+    if sv_op is not None:
+        out = maybe_quant(sv_op.act_out, out)
+    out = out.reshape(B, T, H * D)
     return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"), slot="o"), cache
 
 
