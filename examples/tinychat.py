@@ -8,24 +8,38 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main():
+def build_chat_parser():
     from llm_compressor_tpu.cli.args import build_parser
-    from llm_compressor_tpu.cli.main import _load_model, run_pipeline
-    from llm_compressor_tpu.engine import generate_text
-    from llm_compressor_tpu.qformats import build_quant_config
-    from llm_compressor_tpu.utils.logging import LOGGER
 
     parser = build_parser()
     parser.add_argument("--max-new-tokens", type=int, default=100)
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top-k", type=int, default=None)
-    args = parser.parse_args()
-    args.tasks = ""  # no eval in chat mode
+    return parser
 
+
+def prepare(args):
+    """Compress per the CLI flags and return the model to chat WITH — the
+    compressed params, not a fresh reload (reference examples/tinychat.py:48-56
+    chats with the model it just quantized)."""
+    from llm_compressor_tpu.cli.main import _load_model, run_pipeline
+    from llm_compressor_tpu.qformats import build_quant_config
+
+    args.tasks = ""  # no eval in chat mode
     if args.quantize or args.prune:
-        run_pipeline(args)
+        _, state = run_pipeline(args, return_state=True)
+        return state["cfg"], state["params"], state["qcfg"]
     cfg, params, _ = _load_model(args)
     qcfg = build_quant_config(args.weight, args.act_in, args.act_out, args.head)
+    return cfg, params, qcfg
+
+
+def main():
+    from llm_compressor_tpu.engine import generate_text
+    from llm_compressor_tpu.utils.logging import LOGGER
+
+    args = build_chat_parser().parse_args()
+    cfg, params, qcfg = prepare(args)
 
     if args.model is None:
         LOGGER.error("tinychat needs --model <checkpoint with tokenizer>")

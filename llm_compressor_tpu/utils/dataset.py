@@ -89,7 +89,11 @@ def get_ptb(tokenizer_path, nsamples=128, seqlen=2048, seed=0):
     return _windows(trainenc, nsamples, seqlen, seed), testenc
 
 
-def get_c4(tokenizer_path, nsamples=128, seqlen=2048, seed=0):
+def get_c4(tokenizer_path, nsamples=128, seqlen=2048, seed=0,
+           local_path: Optional[str] = None):
+    if local_path is not None:
+        enc = _tokenize_text(Path(local_path).read_text(), tokenizer_path)
+        return _windows(enc, nsamples, seqlen, seed), enc
     from datasets import load_dataset
     from transformers import AutoTokenizer
 
@@ -126,19 +130,23 @@ def get_loaders(name, tokenizer_path, nsamples=128, seqlen=2048, seed=0,
     if "ptb" in name:
         return get_ptb(tokenizer_path, nsamples, seqlen, seed)
     if "c4" in name:
-        return get_c4(tokenizer_path, nsamples, seqlen, seed)
+        return get_c4(tokenizer_path, nsamples, seqlen, seed, local_path)
     raise RuntimeError(f"Invalid dataset name, got {name}")
 
 
 def get_calib_dataset(data="pileval", tokenizer_path=None, n_samples=512,
-                      block_size=512) -> np.ndarray:
+                      block_size=512, local_path: Optional[str] = None) -> np.ndarray:
     """Pile-val calibration blocks (reference utils/dataset.py:109-136):
     take short (<512 tok) lines, concat, split into blocks. (N, block) int32."""
+    if data != "pileval":
+        raise NotImplementedError(data)
+    if local_path is not None:
+        cat = _tokenize_text(Path(local_path).read_text(), tokenizer_path)[0]
+        n_split = len(cat) // block_size
+        return cat[: n_split * block_size].reshape(n_split, block_size).astype(np.int32)
     from datasets import load_dataset
     from transformers import AutoTokenizer
 
-    if data != "pileval":
-        raise NotImplementedError(data)
     dataset = load_dataset("mit-han-lab/pile-val-backup", split="validation")
     dataset = dataset.shuffle(seed=42)
     tok = AutoTokenizer.from_pretrained(tokenizer_path)

@@ -55,6 +55,67 @@ def test_save_and_reload(tmp_path, monkeypatch):
     assert "model.embed_tokens.weight" in sd
 
 
+def test_calib_dataset_per_method(tmp_path, monkeypatch):
+    """Each algorithm calibrates on the reference's corpus: pile-val for
+    AWQ/AWQ+ stage-1/SmoothQuant (awq/core.py:38), C4 for Wanda/RIA/SparseGPT
+    (wanda/core.py:34), wikitext-2 for GPTQ/GPTAQ and AWQ+ stage-2
+    (gptq/core.py:36, awq_plus/core.py:155)."""
+    import llm_compressor_tpu.cli.main as M
+
+    assert M.CALIB_DATASET["awq"] == M.CALIB_DATASET["smoothquant"] == "pileval"
+    assert (M.CALIB_DATASET["wanda"] == M.CALIB_DATASET["ria"]
+            == M.CALIB_DATASET["sparsegpt"] == "c4")
+    assert M.CALIB_DATASET["gptq"] == M.CALIB_DATASET["gptaq"] == "wikitext2"
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    real = M._calib_tokens
+
+    def spy(args, cfg, dataset):
+        calls.append(dataset)
+        return real(args, cfg, dataset)
+
+    monkeypatch.setattr(M, "_calib_tokens", spy)
+
+    run_pipeline(_args("--quantize", "--quant-method", "awq",
+                       "--weight", "int4-g[32]-rw"))
+    assert calls == ["pileval"]
+
+    calls.clear()
+    run_pipeline(_args("--prune", "--prune-method", "wanda"))
+    assert calls == ["c4"]
+
+    calls.clear()
+    run_pipeline(_args("--quantize", "--quant-method", "awq_plus",
+                       "--weight", "int4-g[32]-rw"))
+    assert calls == ["pileval", "wikitext2"]
+
+
+def test_tinychat_serves_compressed(tmp_path, monkeypatch):
+    """tinychat chats with the params the pipeline compressed — with --pack,
+    the served tree holds packed QTensors (the round-1 bug reloaded a fresh
+    uncompressed model; reference tinychat.py:48-56 serves the quantized one)."""
+    import importlib.util
+    from pathlib import Path
+
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "tinychat_example",
+        Path(__file__).resolve().parents[1] / "examples" / "tinychat.py")
+    tinychat = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tinychat)
+
+    args = tinychat.build_chat_parser().parse_args([
+        "--tiny", "--arch", "llama", "--calib-num", "2", "--seq-len", "16",
+        "--quantize", "--quant-method", "rtn", "--weight", "int4-g[32]-rw",
+        "--pack",
+    ])
+    cfg, params, qcfg = tinychat.prepare(args)
+    from llm_compressor_tpu.qformats import QTensor
+
+    assert isinstance(params["layers"][0]["attn"]["q"]["weight"], QTensor)
+
+
 def test_packed_save_load_roundtrip(tmp_path, monkeypatch):
     """Packed checkpoint round-trip: loaded QTensors reproduce the exact
     quantized forward."""
