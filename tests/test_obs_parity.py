@@ -54,7 +54,7 @@ _utils_pkg = _fake("utils")
 _fake("utils.general", LOGGER=_NullLogger())
 _fake("utils.dataset", get_loaders=None, get_calib_dataset=None)
 _fake("utils.torch_utils", cleanup_memory=lambda *a, **k: None)
-_fake("utils.module", find_layers=None)
+_fake("utils.module", find_layers=None, get_op_by_name=None)
 for sub in ("general", "dataset", "torch_utils", "module"):
     setattr(_utils_pkg, sub, sys.modules[f"utils.{sub}"])
 
@@ -71,6 +71,7 @@ def _load_ref(name, path):
 
 ref_gptq = _load_ref("ref_gptq_core", REF + "/quantization/calibrations/gptq/core.py")
 ref_sparsegpt = _load_ref("ref_sparsegpt_core", REF + "/pruning/sparsegpt/core.py")
+ref_gptaq = _load_ref("ref_gptaq_core", REF + "/quantization/calibrations/gptaq/core.py")
 
 # restore the flat quantizers utils for any later-imported quantizer module
 sys.modules["utils"] = _flat_utils
@@ -78,7 +79,9 @@ sys.modules["utils"] = _flat_utils
 import jax.numpy as jnp  # noqa: E402
 
 from llm_compressor_tpu.qformats import ElemFormat, Quantizer  # noqa: E402
-from llm_compressor_tpu.algorithms import gptq_update, sparsegpt_update  # noqa: E402
+from llm_compressor_tpu.algorithms import (  # noqa: E402
+    gptaq_update, gptq_update, sparsegpt_update,
+)
 
 
 def _make_problem(rng, n=16, c=64):
@@ -120,6 +123,50 @@ def test_gptq_preserves_pruned_zeros(rng):
     W[np.abs(W) < 0.3] = 0.0
     q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=32)
     Q = np.asarray(gptq_update(jnp.asarray(W), jnp.asarray(H), q, blocksize=32))
+    assert np.all(Q[W == 0] == 0)
+
+
+@pytest.mark.parametrize("group_size", [-1, 32])
+def test_gptaq_update_parity(rng, group_size):
+    """GPTAQ asymmetric-correction update vs the reference torch
+    update_weight (gptaq/core.py:198-335): P = alpha * triu(dXXT Hinv^T, 1)
+    Hinv chained into both the per-column and cross-block propagation, with
+    act-order (per-group-granular for grouped quantizers)."""
+    n, c = 16, 64
+    W = rng.normal(size=(n, c)).astype(np.float32)
+    X = rng.normal(size=(c, 256)).astype(np.float32)
+    dX = 0.05 * rng.normal(size=(c, 256)).astype(np.float32)
+    H = (2.0 * X @ X.T / 8).astype(np.float32)
+    # fp-input cross term: dXXT = sum (x_fp - x) x^T with the same scaling
+    dXXT = (2.0 * dX @ X.T / 8).astype(np.float32)
+
+    quant = INTQuantizer(format=RefFmt.int4, group_size=group_size, axes=-1,
+                         zero_point=False)
+    quant.mse = False
+    layer = _FakeLayer(W, quant, H)
+    layer.weight_quantizer.dXXT = torch.from_numpy(dXXT.copy())
+    with torch.no_grad():
+        ref_gptaq.update_weight(layer, device=torch.device("cpu"),
+                                block_size=32, percdamp=0.01, actorder=True,
+                                alpha=0.25)
+    ref_Q = layer.weight.detach().numpy()
+
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=group_size)
+    ours = np.asarray(gptaq_update(jnp.asarray(W), jnp.asarray(H),
+                                   jnp.asarray(dXXT), q, blocksize=32,
+                                   actorder=True, alpha=0.25))
+    np.testing.assert_allclose(ours, ref_Q, rtol=1e-4, atol=1e-4)
+
+
+def test_gptaq_preserves_pruned_zeros(rng):
+    W = rng.normal(size=(16, 64)).astype(np.float32)
+    W[np.abs(W) < 0.3] = 0.0
+    X = rng.normal(size=(64, 256)).astype(np.float32)
+    H = (2.0 * X @ X.T / 8).astype(np.float32)
+    dXXT = (0.1 * rng.normal(size=(64, 64))).astype(np.float32)
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=32)
+    Q = np.asarray(gptaq_update(jnp.asarray(W), jnp.asarray(H),
+                                jnp.asarray(dXXT), q, blocksize=32))
     assert np.all(Q[W == 0] == 0)
 
 
