@@ -54,8 +54,11 @@ def make_multihost_mesh(model_axis: str = "ici"):
     devices = np.asarray(jax.devices())
     n_hosts = jax.process_count()
     per_host = len(devices) // n_hosts
+    # jax.devices() orders by process: host h's local devices occupy
+    # [h*per_host, (h+1)*per_host) — row h of the (hosts, per_host) reshape.
+    arr = devices.reshape(n_hosts, per_host)
     if model_axis == "ici":
-        arr = devices.reshape(n_hosts, per_host)
         return Mesh(arr, ("data", "model"))
-    arr = devices.reshape(per_host, n_hosts)
-    return Mesh(arr, ("model", "data"))
+    # model across DCN: transpose so the model axis varies across hosts
+    # while each column stays one host's ICI domain.
+    return Mesh(arr.T, ("model", "data"))

@@ -79,3 +79,28 @@ def test_tp_packed_qtensor_forward():
     sp = shard_params(params, cfg, mesh)
     out = np.asarray(forward(sp, cfg, tokens, qcfg=qcfg))
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_multihost_mesh_layout(monkeypatch):
+    """DCN x ICI mesh layout with a mocked 2-host x 4-device topology
+    (multihost.py:48-61): jax.devices() orders by process, so host h owns
+    devices [4h, 4h+4). model_axis='ici' keeps 'model' inside a host;
+    otherwise 'model' must vary ACROSS hosts with each column one host."""
+    from llm_compressor_tpu.parallel import multihost
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    devices = jax.devices()[:8]
+
+    mesh = multihost.make_multihost_mesh(model_axis="ici")
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (2, 4)
+    for h in range(2):
+        for d in range(4):
+            assert mesh.devices[h, d] == devices[h * 4 + d]
+
+    mesh = multihost.make_multihost_mesh(model_axis="dcn")
+    assert mesh.axis_names == ("model", "data")
+    assert mesh.devices.shape == (4, 2)
+    for m in range(4):
+        for h in range(2):
+            assert mesh.devices[m, h] == devices[h * 4 + m]
