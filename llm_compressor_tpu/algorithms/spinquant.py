@@ -135,28 +135,60 @@ def _ste_qdq(q, x):
 
 
 def _cayley_step(R, G, lr: float):
-    """Cayley retraction: R <- (I + a/2 A)^-1 (I - a/2 A) R with
-    A = G R^T - R G^T (the reference's SGDG stiefel update,
-    optimizer.py:47-189, without momentum)."""
+    """Simple Cayley retraction fallback: R <- (I + a/2 A)^-1 (I - a/2 A) R
+    with A = G R^T - R G^T (momentum-free, exact solve)."""
     A = G @ R.T - R @ G.T
     n = R.shape[0]
     I = jnp.eye(n, dtype=R.dtype)
     return jnp.linalg.solve(I + (lr / 2) * A, (I - (lr / 2) * A) @ R)
 
 
-def optimize_rotations(params, cfg: ModelConfig, calib_tokens, qcfg: QuantConfig,
-                       n_steps: int = 100, lr: float = 1.5, lr_r2: float = 0.1,
-                       batch: int = 1, seed: int = 0):
-    """Learn R1 (+ per-layer R2) minimizing the CE of the rotated,
-    STE-quantized model on calibration batches."""
-    key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
-    R1 = random_hadamard_matrix(cfg.hidden_size, k1).astype(jnp.float32)
-    R2s = jnp.stack([
-        random_hadamard_matrix(cfg.head_dim, k).astype(jnp.float32)
-        for k in jax.random.split(k2, cfg.num_layers)
-    ])
+def _sgdg_stiefel_step(R, G, V, lr, momentum: float = 0.0, eps: float = 1e-8):
+    """Faithful SGDG Stiefel update (reference optimizer.py:121-160):
 
+    * X = row-normalized parameter (``unit``)
+    * momentum buffer V <- momentum * V - G^T  (n x p, tangent-space)
+    * canonical tangent projection W = skew(MX - 0.5 * X^T X M X)
+    * adaptive step alpha = min(lr, 1 / (||W||_1 + eps))
+    * 5-iteration Cayley fixed-point loop Y = X^T + alpha * W (X^T + Y)/2
+    * buffer projected back: V <- W X^T
+
+    The reference instantiates SGDG with the default momentum=0
+    (core.py:125-127) — the buffer machinery is kept for parity and for
+    callers that want momentum.
+    Returns (R_new, V_new).
+    """
+    X = R / (jnp.linalg.norm(R, axis=1, keepdims=True) + eps)
+    V = momentum * V - G.T
+    MX = V @ X
+    XMX = X @ MX
+    XXMX = X.T @ XMX
+    W_hat = MX - 0.5 * XXMX
+    W = W_hat - W_hat.T
+    # matrix_norm_one: max column sum of |W| (optimizer.py:17-21,156)
+    t = 1.0 / (jnp.max(jnp.sum(jnp.abs(W), axis=0)) + eps)
+    alpha = jnp.minimum(t, lr)
+    Xt = X.T
+    Y = Xt + alpha * V
+    for _ in range(5):  # Cayley_loop (optimizer.py:24-29)
+        Y = Xt + alpha * (W @ (0.5 * (Xt + Y)))
+    return Y.T, W @ Xt
+
+
+def _qr_retract(R: np.ndarray) -> np.ndarray:
+    """Sign-fixed QR re-orthonormalization (reference qr_retraction,
+    optimizer.py:32-42) — the reference applies it with 1% probability per
+    step to bound orthogonality drift; we apply it deterministically on a
+    fixed period instead (jit-friendly, reproducible)."""
+    q, r = np.linalg.qr(np.asarray(R, np.float64).T)
+    q = q * np.sign(np.diag(r))[None, :]
+    return q.T.astype(np.float32)
+
+
+def make_rotated_ste_loss(params, cfg: ModelConfig, qcfg: QuantConfig):
+    """Build loss_fn(R1, R2s, toks) -> CE of the rotated, STE-quantized model
+    (the training objective of reference core.py:111-136: every QLinear
+    re-rotates and re-quantizes its weight on the fly, qlinear.py:58-84)."""
     wq = qcfg.linear.weight
     d = cfg.head_dim
 
@@ -189,18 +221,50 @@ def optimize_rotations(params, cfg: ModelConfig, calib_tokens, qcfg: QuantConfig
         ll = jnp.take_along_axis(logp, toks[:, 1:, None], axis=-1)
         return -jnp.mean(ll)
 
-    @jax.jit
-    def step(R1, R2s, toks):
-        loss, (g1, g2) = jax.value_and_grad(rotated_forward, argnums=(0, 1))(R1, R2s, toks)
-        R1n = _cayley_step(R1, g1 * lr, 1.0)
-        R2n = jax.vmap(lambda r, g: _cayley_step(r, g * lr_r2, 1.0))(R2s, g2)
-        return loss, R1n, R2n
+    return rotated_forward
 
+
+def optimize_rotations(params, cfg: ModelConfig, calib_tokens, qcfg: QuantConfig,
+                       n_steps: int = 100, lr: float = 1.5, momentum: float = 0.0,
+                       batch: int = 1, seed: int = 0, qr_period: int = 50):
+    """Learn R1 (+ per-layer R2) minimizing the CE of the rotated,
+    STE-quantized model on calibration batches.
+
+    Optimization matches the reference training setup (core.py:111-136):
+    SGDG Stiefel steps at lr 1.5 under a cosine learning-rate schedule (the
+    HF Trainer's ``lr_scheduler_type='cosine'``), R1 and the per-layer R2s
+    in one parameter group."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    R1 = random_hadamard_matrix(cfg.hidden_size, k1).astype(jnp.float32)
+    R2s = jnp.stack([
+        random_hadamard_matrix(cfg.head_dim, k).astype(jnp.float32)
+        for k in jax.random.split(k2, cfg.num_layers)
+    ])
+
+    rotated_forward = make_rotated_ste_loss(params, cfg, qcfg)
+
+    @jax.jit
+    def step(R1, R2s, V1, V2s, toks, lr_t):
+        loss, (g1, g2) = jax.value_and_grad(rotated_forward, argnums=(0, 1))(R1, R2s, toks)
+        R1n, V1n = _sgdg_stiefel_step(R1, g1, V1, lr_t, momentum)
+        R2n, V2n = jax.vmap(
+            lambda r, g, v: _sgdg_stiefel_step(r, g, v, lr_t, momentum)
+        )(R2s, g2, V2s)
+        return loss, R1n, R2n, V1n, V2n
+
+    V1 = jnp.zeros_like(R1)
+    V2s = jnp.zeros_like(R2s)
     n = calib_tokens.shape[0]
     for it in range(n_steps):
         idx = np.arange(it * batch, (it + 1) * batch) % n
         toks = jnp.asarray(calib_tokens[idx])
-        loss, R1, R2s = step(R1, R2s, toks)
+        # cosine schedule over n_steps (Trainer lr_scheduler_type="cosine")
+        lr_t = jnp.float32(lr * 0.5 * (1.0 + np.cos(np.pi * it / max(1, n_steps))))
+        loss, R1, R2s, V1, V2s = step(R1, R2s, V1, V2s, toks, lr_t)
+        if qr_period and (it + 1) % qr_period == 0:
+            R1 = jnp.asarray(_qr_retract(np.asarray(R1)))
+            R2s = jnp.stack([jnp.asarray(_qr_retract(np.asarray(r))) for r in R2s])
         if it % 20 == 0:
             LOGGER.info(f"SpinQuant opt step {it}: loss {float(loss):.4f}")
     return np.asarray(R1, dtype=np.float64), [np.asarray(r, np.float64) for r in R2s]
