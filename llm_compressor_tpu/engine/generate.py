@@ -28,7 +28,6 @@ from ..models.layers import (
     softcap,
 )
 from ..models.transformer import (
-    NEG_INF,
     LayerOps,
     embed,
     head,
@@ -41,11 +40,13 @@ from .kvcache import KVCache, append_decode, append_prefill, init_cache, read
 
 
 def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
-                      cache: KVCache, start, ops: Optional[LayerOps]):
+                      cache: KVCache, start, ops: Optional[LayerOps],
+                      cos, sin, mask):
     """Attention for a (B, T, E) slice at absolute ``positions``, writing
     K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
     ``start`` is None, using positions[:, 0]) and attending over the whole
-    cache window."""
+    cache window. ``cos``/``sin``/``mask`` are computed by the caller —
+    per-layer values may be traced scan data (sliding-window archs)."""
     B, T, E = x.shape
     ap = lp["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -73,7 +74,6 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         q = layer_norm(q, ap["q_norm"]["weight"], ap["q_norm"].get("bias"), cfg.rms_norm_eps)
         k = layer_norm(k, ap["k_norm"]["weight"], ap["k_norm"].get("bias"), cfg.rms_norm_eps)
 
-    cos, sin = rope_for_layer(cfg, layer_idx, positions)
     if cos is not None:
         rot = cfg.rotary_dim
         if rot < D:
@@ -131,12 +131,7 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         scores = scores + alibi_bias(H, kv_pos).reshape(KV, r, 1, S)[None]
 
     scores = softcap(scores, cfg.attn_logit_softcapping)
-    qp = positions[:, None, None, :, None]   # (B, 1, 1, T, 1)
-    kp = kv_pos[None, None, None, None, :]
-    keep = kp <= qp
-    if cfg.sliding_window is not None and cfg.layer_type(layer_idx) == "sliding_attention":
-        keep &= kp > qp - cfg.sliding_window
-    scores = scores + jnp.where(keep, 0.0, NEG_INF)
+    scores = scores + mask[:, None, None]    # (B, T, S) -> (B, 1, 1, T, S)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)  # (B,KV,r,T,S)
 
     if sv_op is not None and sv_op.act_in.qtype != "dummy":
@@ -158,18 +153,21 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
 
 
 def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
-                  start, ops):
+                  start, ops, cos, sin, mask):
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
-        a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions, cache, start, ops)
+        a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
+                                     cache, start, ops, cos, sin, mask)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, cache
 
     if cfg.do_layer_norm_before:
         normed = apply_norm(cfg, x, lp["ln1"])
-        a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions, cache, start, ops)
+        a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
+                                     cache, start, ops, cos, sin, mask)
     else:
-        a, cache = _cached_attention(lp, cfg, layer_idx, x, positions, cache, start, ops)
+        a, cache = _cached_attention(lp, cfg, layer_idx, x, positions,
+                                     cache, start, ops, cos, sin, mask)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -190,7 +188,13 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                     qcfg: Optional[QuantConfig]):
-    from ..models.transformer import uniform_layers
+    from ..models.transformer import (
+        layer_scan_plan,
+        layer_window,
+        quant_uniform,
+        rope_stack,
+        window_mask,
+    )
 
     B, T = tokens.shape
     if start is None:  # decode: per-slot positions from cache lengths
@@ -199,26 +203,40 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     else:
         positions = jnp.broadcast_to(start + jnp.arange(T)[None, :], (B, T))
     h = embed(params, cfg, tokens, positions)
+    kv_pos = jnp.arange(cache.max_len)[None, :]
 
     stacked = params.get("layers_stacked")
-    if stacked is not None and uniform_layers(cfg, qcfg):
-        # one lax.scan over the stacked layers: compile time O(1) in depth.
-        # The cache is carried; per-layer writes use the scanned layer index.
+    if stacked is not None and quant_uniform(cfg, qcfg):
+        # ONE lax.scan over the stacked layers: compile time O(1) in depth.
+        # Sliding-window / local-theta archs (gemma2/3, qwen3-sw) scan too:
+        # the per-layer rope variant and window scalar ride as scan data,
+        # and the cache write uses the scanned layer index.
         ops = layer_ops(cfg, qcfg, 0)
-        L = cfg.num_layers
+        rep_layers, sel, windows = layer_scan_plan(cfg)
+        cos_u, sin_u = rope_stack(cfg, rep_layers, positions)
+        win_xs = windows if windows is not None else jnp.zeros(
+            (cfg.num_layers,), jnp.int32)
 
         def step(carry, xs):
             hh, cc = carry
-            lp, li = xs
-            hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops)
+            lp, li, s_i, w_i = xs
+            cos = cos_u[s_i] if cos_u is not None else None
+            sin = sin_u[s_i] if sin_u is not None else None
+            mask = window_mask(positions, kv_pos,
+                               w_i if windows is not None else None)
+            hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops,
+                                   cos, sin, mask)
             return (hh, cc), None
 
-        (h, cache), _ = jax.lax.scan(step, (h, cache),
-                                     (stacked, jnp.arange(L)))
+        (h, cache), _ = jax.lax.scan(
+            step, (h, cache),
+            (stacked, jnp.arange(cfg.num_layers), sel, win_xs))
     else:
         for i, lp in enumerate(params["layers"]):
+            cos, sin = rope_for_layer(cfg, i, positions)
+            mask = window_mask(positions, kv_pos, layer_window(cfg, i))
             h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
-                                     layer_ops(cfg, qcfg, i))
+                                     layer_ops(cfg, qcfg, i), cos, sin, mask)
     logits = head(params, cfg, h, qcfg)
     return logits, cache
 

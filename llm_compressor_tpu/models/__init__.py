@@ -62,7 +62,6 @@ def tiny_config(arch: str = "llama", **overrides) -> ModelConfig:
                    norm_weight_plus_one=True, embed_scale=8.0, tie_word_embeddings=True,
                    query_pre_attn_scalar=16.0, qk_norm=True, sliding_window=8,
                    rope_local_theta=10000.0, rope_theta=1000000.0,
-                   layer_types=("sliding_attention", "full_attention"),
                    pre_post_ffw_norm=True, post_attn_residual_norm=True)
     elif arch == "opt":
         cfg = dict(base, arch=arch, num_kv_heads=4, hidden_act="relu",
@@ -83,6 +82,11 @@ def tiny_config(arch: str = "llama", **overrides) -> ModelConfig:
     else:
         raise ValueError(arch)
     cfg.update(overrides)
+    if arch == "gemma3" and "layer_types" not in cfg:
+        # gemma3's alternating local/global pattern, sized to num_layers
+        cfg["layer_types"] = tuple(
+            "sliding_attention" if i % 2 == 0 else "full_attention"
+            for i in range(cfg["num_layers"]))
     return ModelConfig(**cfg)
 
 

@@ -202,14 +202,30 @@ def head(params: Params, cfg: ModelConfig, h: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def window_mask(q_positions, kv_positions, window=None) -> jnp.ndarray:
+    """(B, T, S) additive f32 causal mask. ``window`` may be None (full
+    attention), a static int, or a TRACED scalar — window <= 0 means full
+    attention, so per-layer windows can ride a lax.scan as data."""
+    qp = q_positions[:, :, None]                       # (B, T, 1)
+    kp = kv_positions[:, None, :]                      # (B|1, 1, S)
+    keep = kp <= qp
+    if window is not None:
+        keep &= (window <= 0) | (kp > qp - window)
+    return jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def layer_window(cfg: ModelConfig, layer_idx: int) -> Optional[int]:
+    """Static sliding-window size for one layer (None = full attention)."""
+    if (cfg.sliding_window is not None
+            and cfg.layer_type(layer_idx) == "sliding_attention"):
+        return cfg.sliding_window
+    return None
+
+
 def make_causal_mask(cfg: ModelConfig, layer_idx: int, q_positions, kv_positions):
     """(B, 1, T, S) additive f32 mask (0 / NEG_INF), sliding-window aware."""
-    qp = q_positions[:, :, None]   # (B, T, 1)
-    kp = kv_positions[:, None, :]  # (B, 1, S)
-    keep = kp <= qp
-    if cfg.sliding_window is not None and cfg.layer_type(layer_idx) == "sliding_attention":
-        keep &= kp > qp - cfg.sliding_window
-    return jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)[:, None, :, :]
+    m = window_mask(q_positions, kv_positions, layer_window(cfg, layer_idx))
+    return m[:, None, :, :]
 
 
 def attention(
@@ -394,16 +410,57 @@ def rope_for_layer(cfg: ModelConfig, layer_idx: int, positions):
 
 def uniform_layers(cfg: ModelConfig, qcfg: Optional[QuantConfig]) -> bool:
     """True when every layer has identical static behavior (same rope,
-    same masking, same quantizer resolution) — the precondition for
-    lax.scan over a stacked layer pytree."""
+    same masking, same quantizer resolution)."""
     if cfg.sliding_window is not None or cfg.rope_local_theta is not None:
         return False
     if cfg.layer_types and len(set(cfg.layer_types)) > 1:
         return False
+    return quant_uniform(cfg, qcfg)
+
+
+def quant_uniform(cfg: ModelConfig, qcfg: Optional[QuantConfig]) -> bool:
+    """True when the quantizer resolution is identical across layers — the
+    only per-layer difference that cannot ride a lax.scan as data (LayerOps
+    is a STATIC jit argument). Rope-theta and sliding-window differences DO
+    scan: see :func:`layer_scan_plan`."""
     if qcfg is not None and qcfg.overrides:
         o0 = layer_ops(cfg, qcfg, 0)
         return all(layer_ops(cfg, qcfg, i) == o0 for i in range(cfg.num_layers))
     return True
+
+
+def layer_scan_plan(cfg: ModelConfig):
+    """Per-layer scan data for non-uniform stacks (gemma2/3, qwen3-sw):
+
+    Returns (rep_layers, sel, windows) where ``rep_layers`` holds one
+    representative layer index per distinct layer *type* (for computing the
+    per-variant rope stack), ``sel`` is an (L,) int32 variant index, and
+    ``windows`` is an (L,) int32 sliding-window size (0 = full attention)
+    or None when no layer slides. Masks are NOT precomputed — the window
+    scalar is scanned and the mask generated in-graph per layer (a
+    materialized (L|U, B, T, S) mask stack would not fuse and costs GBs at
+    prefill shapes)."""
+    L = cfg.num_layers
+    types = [cfg.layer_type(i) for i in range(L)]
+    uniq = list(dict.fromkeys(types))
+    sel = jnp.asarray([uniq.index(t) for t in types], jnp.int32)
+    rep_layers = [types.index(u) for u in uniq]
+    if cfg.sliding_window is not None and "sliding_attention" in types:
+        windows = jnp.asarray([
+            cfg.sliding_window if t == "sliding_attention" else 0
+            for t in types], jnp.int32)
+    else:
+        windows = None
+    return rep_layers, sel, windows
+
+
+def rope_stack(cfg: ModelConfig, rep_layers, positions):
+    """(U, B, T, R) cos/sin stacks, one entry per layer variant (gemma3's
+    local-theta layers get their own), or (None, None) for non-rope archs."""
+    if cfg.pos_embedding != "rope":
+        return None, None
+    ropes = [rope_for_layer(cfg, r, positions) for r in rep_layers]
+    return jnp.stack([c for c, _ in ropes]), jnp.stack([s for _, s in ropes])
 
 
 def _shard_interleave(arrs, shards: int):
@@ -565,15 +622,24 @@ def forward_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     h = embed(params, cfg, tokens, positions)
 
     stacked = params.get("layers_stacked")
-    if stacked is not None and uniform_layers(cfg, qcfg):
-        cos, sin = rope_for_layer(cfg, 0, positions)
-        mask = make_causal_mask(cfg, 0, positions, positions)
+    if stacked is not None and quant_uniform(cfg, qcfg):
+        # ONE lax.scan even for sliding-window / local-theta stacks: the
+        # per-layer rope variant and window size ride the scan as data.
         ops = layer_ops(cfg, qcfg, 0)
+        rep_layers, sel, windows = layer_scan_plan(cfg)
+        cos_u, sin_u = rope_stack(cfg, rep_layers, positions)
+        win_xs = windows if windows is not None else jnp.zeros(
+            (cfg.num_layers,), jnp.int32)
 
-        def step(carry, lp):
+        def step(carry, xs):
+            lp, s_i, w_i = xs
+            cos = cos_u[s_i] if cos_u is not None else None
+            sin = sin_u[s_i] if sin_u is not None else None
+            w = w_i if windows is not None else None
+            mask = window_mask(positions, positions, w)[:, None]
             return decoder_layer(lp, cfg, carry, cos, sin, mask, ops), None
 
-        h, _ = jax.lax.scan(step, h, stacked)
+        h, _ = jax.lax.scan(step, h, (stacked, sel, win_xs))
         return h
 
     for i, lp in enumerate(params["layers"]):

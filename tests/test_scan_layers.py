@@ -8,7 +8,11 @@ import pytest
 
 from llm_compressor_tpu.engine import decode_step, init_cache, prefill
 from llm_compressor_tpu.models import forward, init_params, tiny_config
-from llm_compressor_tpu.models.transformer import stack_model, uniform_layers
+from llm_compressor_tpu.models.transformer import (
+    quant_uniform,
+    stack_model,
+    uniform_layers,
+)
 from llm_compressor_tpu.qformats import build_quant_config
 
 
@@ -16,6 +20,44 @@ def test_uniformity_detection():
     assert uniform_layers(tiny_config("llama", num_layers=4), None)
     assert not uniform_layers(tiny_config("gemma2"), None)
     assert not uniform_layers(tiny_config("gemma3"), None)
+    # ... but sliding-window archs still SCAN: only per-layer quantizer
+    # differences block the scan path (window/rope ride as scan data)
+    assert quant_uniform(tiny_config("gemma2"), None)
+    assert quant_uniform(tiny_config("gemma3"), None)
+
+
+@pytest.mark.parametrize("arch", ["gemma2", "gemma3", "qwen3"])
+def test_stacked_sliding_window_forward_matches(arch):
+    """Non-uniform stacks (sliding window + local rope theta) run as ONE
+    lax.scan with per-layer window/rope scan data — must match the unrolled
+    forward exactly. T > sliding_window so the window genuinely masks."""
+    cfg = tiny_config(arch, num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12)))
+    ref = np.asarray(forward(params, cfg, toks))
+    out = np.asarray(forward(stack_model(params), cfg, toks))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["gemma2", "gemma3"])
+def test_stacked_sliding_window_decode_matches(arch):
+    cfg = tiny_config(arch, num_layers=4, dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    toks = np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 12)).astype(np.int32)
+
+    def run(p):
+        cache = init_cache(cfg.num_layers, 1, 12, cfg.num_kv_heads, cfg.head_dim,
+                           dtype=jnp.float32)
+        logits, cache = prefill(p, jnp.asarray(toks[:, :10]), cache, cfg=cfg)
+        out = [np.asarray(logits)]
+        for t in range(10, 12):
+            logits, cache = decode_step(p, jnp.asarray(toks[:, t:t+1]), cache, cfg=cfg)
+            out.append(np.asarray(logits))
+        return np.stack(out)
+
+    ref = run(params)
+    out = run(stack_model(params))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("arch", ["llama", "opt", "bloom", "phi"])
