@@ -30,8 +30,10 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=32,
     # prefill_len has identical decode cost to a real one. Greedy decoding
     # runs as ONE jitted lax.scan over the steps — the serving fast path
     # (per-dispatch tunnel latency is ~5 ms; see engine.decode_greedy_steps).
-    cache = init_cache(cfg.num_layers, batch,
-                       prefill_len + steps + warmup + 2,
+    # cache length padded to 128 so the fused int8-KV decode-attention
+    # kernel engages (kernels/decode_attention.py supported())
+    max_len = -(-(prefill_len + steps + warmup + 2) // 128) * 128
+    cache = init_cache(cfg.num_layers, batch, max_len,
                        cfg.num_kv_heads, cfg.head_dim, quantized=True)
     cache = cache.replace(lengths=jnp.full((batch,), prefill_len, jnp.int32))
 

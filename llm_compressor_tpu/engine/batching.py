@@ -119,9 +119,11 @@ class ContinuousBatcher:
             if self.quantized_kv:
                 self.cache = self.cache.replace(
                     k_scale=jax.lax.dynamic_update_slice(
-                        self.cache.k_scale, mini.k_scale[:, 0][:, None], (0, s, 0, 0)),
+                        self.cache.k_scale, mini.k_scale[:, 0][:, None],
+                        (0, s, 0, 0, 0)),
                     v_scale=jax.lax.dynamic_update_slice(
-                        self.cache.v_scale, mini.v_scale[:, 0][:, None], (0, s, 0, 0)),
+                        self.cache.v_scale, mini.v_scale[:, 0][:, None],
+                        (0, s, 0, 0, 0)),
                 )
             self.cache = self.cache.replace(lengths=self.cache.lengths.at[s].set(T))
             self.slot_req[s] = req

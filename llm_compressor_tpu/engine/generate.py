@@ -41,12 +41,14 @@ from .kvcache import KVCache, append_decode, append_prefill, init_cache, read
 
 def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
                       cache: KVCache, start, ops: Optional[LayerOps],
-                      cos, sin, mask):
+                      cos, sin, mask, window=None):
     """Attention for a (B, T, E) slice at absolute ``positions``, writing
     K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
     ``start`` is None, using positions[:, 0]) and attending over the whole
-    cache window. ``cos``/``sin``/``mask`` are computed by the caller —
-    per-layer values may be traced scan data (sliding-window archs)."""
+    cache window. ``cos``/``sin``/``mask``/``window`` are computed by the
+    caller — per-layer values may be traced scan data (sliding-window
+    archs); ``window`` duplicates the mask's sliding constraint as a scalar
+    (<= 0 = full) for the fused decode kernel, which builds its own mask."""
     B, T, E = x.shape
     ap = lp["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -87,8 +89,38 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         cache = append_decode(cache, layer_idx, k, v, positions[:, 0])
     else:
         cache = append_prefill(cache, layer_idx, k, v, start)
-    K, V = read(cache, layer_idx, dtype=x.dtype)   # (B, S, KV, D)
-    S = K.shape[1]
+
+    r = H // KV
+    scale = cfg.attn_scale
+    qk_op = ops.qk if ops is not None else None
+    sv_op = ops.sv if ops is not None else None
+
+    # Fused int8-KV decode attention: the Pallas kernel reads the int8
+    # codes + scales straight from the cache buffer (layer index is scalar
+    # prefetch) — no dequantized bf16 window, no f32 score round-trips.
+    from ..kernels import decode_attention as da
+
+    quant_acts = da.acts_mode(qk_op, sv_op)
+    if da.supported(cfg, cache, T) and quant_acts is not None:
+        q4 = q.reshape(B, KV, r, D)  # T == 1; head h = kv*r + j
+        if cfg.arch == "opt":  # pre-scaled query (reference opt.py:113)
+            q4 = q4 * jnp.asarray(scale, q4.dtype)
+            kscale = 1.0
+        else:
+            kscale = scale
+        out = da.decode_attention(
+            q4, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            layer_idx, positions[:, 0],
+            window if window is not None else 0,
+            scale=kscale, softcap=cfg.attn_logit_softcapping,
+            quant_acts=quant_acts, out_dtype=x.dtype)
+        # (B, KV, r, D) -> (B, 1, H*D) with head order h = kv*r + j
+        out = out.reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), cache
+
+    K, V = read(cache, layer_idx, dtype=x.dtype)   # (B, KV, D, S)
+    S = K.shape[-1]
 
     # Grouped-query attention WITHOUT materializing the KV->H broadcast
     # (at decode that broadcast + transposes dominate HBM traffic:
@@ -97,11 +129,7 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
     # eval path's broadcast attention (models/transformer.py:attention) —
     # the activation quantizers see the same rows (per-token groups are
     # over the last axis, which reshapes preserve).
-    r = H // KV
     q5 = q.reshape(B, T, KV, r, D)
-    scale = cfg.attn_scale
-    qk_op = ops.qk if ops is not None else None
-    sv_op = ops.sv if ops is not None else None
     if cfg.arch in ("opt", "bloom"):
         q5 = q5 * jnp.asarray(scale, q5.dtype)
 
@@ -112,12 +140,11 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         q5 = maybe_quant(qk_op.act_in, q5)
         q2 = qk_op.act_in
         q2 = q2.with_axes_flipped() if q2.eff_axes == -2 else q2
-        kt = jnp.transpose(K, (0, 2, 3, 1))          # (B, KV, D, S)
-        kt = quantize_dequant(q2, kt)
+        kt = quantize_dequant(q2, K)                 # (B, KV, D, S)
         scores = jnp.einsum("btkrd,bkds->bkrts", q5, kt,
                             preferred_element_type=jnp.float32)
     else:
-        scores = jnp.einsum("btkrd,bskd->bkrts", q5, K,
+        scores = jnp.einsum("btkrd,bkds->bkrts", q5, K,
                             preferred_element_type=jnp.float32)
     if qk_op is not None:
         scores = maybe_quant(qk_op.act_out,
@@ -138,12 +165,12 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         probs = maybe_quant(sv_op.act_in, probs)
         q2 = sv_op.act_in
         q2 = q2.with_axes_flipped() if q2.eff_axes == -1 else q2
-        vt = jnp.transpose(V, (0, 2, 1, 3))          # (B, KV, S, D)
+        vt = jnp.transpose(V, (0, 1, 3, 2))          # (B, KV, S, D)
         vt = quantize_dequant(q2, vt)
         out = jnp.einsum("bkrts,bksd->btkrd", probs, vt,
                          preferred_element_type=jnp.float32)
     else:
-        out = jnp.einsum("bkrts,bskd->btkrd", probs, V,
+        out = jnp.einsum("bkrts,bkds->btkrd", probs, V,
                          preferred_element_type=jnp.float32)
     out = out.astype(x.dtype)
     if sv_op is not None:
@@ -153,21 +180,24 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
 
 
 def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
-                  start, ops, cos, sin, mask):
+                  start, ops, cos, sin, mask, window=None):
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
-                                     cache, start, ops, cos, sin, mask)
+                                     cache, start, ops, cos, sin, mask,
+                                     window)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, cache
 
     if cfg.do_layer_norm_before:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
-                                     cache, start, ops, cos, sin, mask)
+                                     cache, start, ops, cos, sin, mask,
+                                     window)
     else:
         a, cache = _cached_attention(lp, cfg, layer_idx, x, positions,
-                                     cache, start, ops, cos, sin, mask)
+                                     cache, start, ops, cos, sin, mask,
+                                     window)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -222,10 +252,10 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             lp, li, s_i, w_i = xs
             cos = cos_u[s_i] if cos_u is not None else None
             sin = sin_u[s_i] if sin_u is not None else None
-            mask = window_mask(positions, kv_pos,
-                               w_i if windows is not None else None)
+            w = w_i if windows is not None else None
+            mask = window_mask(positions, kv_pos, w)
             hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops,
-                                   cos, sin, mask)
+                                   cos, sin, mask, w)
             return (hh, cc), None
 
         (h, cache), _ = jax.lax.scan(
@@ -234,9 +264,10 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     else:
         for i, lp in enumerate(params["layers"]):
             cos, sin = rope_for_layer(cfg, i, positions)
-            mask = window_mask(positions, kv_pos, layer_window(cfg, i))
+            w = layer_window(cfg, i)
+            mask = window_mask(positions, kv_pos, w)
             h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
-                                     layer_ops(cfg, qcfg, i), cos, sin, mask)
+                                     layer_ops(cfg, qcfg, i), cos, sin, mask, w)
     logits = head(params, cfg, h, qcfg)
     return logits, cache
 

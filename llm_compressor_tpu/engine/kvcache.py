@@ -1,13 +1,25 @@
 """KV cache — bf16 or int8-quantized (per token, per head), per-slot lengths.
 
-Layout: (L, B, S_max, KV, D) — sequence in the middle so prefill writes are
-one dynamic_update_slice per layer and per-slot decode writes are a scatter
-over the batch dim. ``lengths`` is per slot (B,), which is what continuous
-batching needs: every slot advances independently.
+Layout: (L, B, KV, D, S) with the SEQUENCE ON THE LANE DIM and head_dim on
+sublanes. This is the attention-native layout on TPU:
 
-INT8 mode stores codes plus per-(token, head) scales — the "quantized
-KV-cache" of the north star; scales are computed at append time (absmax
-over the head dim).
+* QK^T is q (r, D) . K (D, S) and probs.V is p (r, S) . V(D, S)^T — both
+  direct MXU contractions with zero transposes, for XLA and for the fused
+  Pallas decode-attention kernel (kernels/decode_attention.py), whose
+  (D, S) int8 tiles are exactly Mosaic's native tiling.
+* the per-(slot, head) window is contiguous in HBM, so the kernel streams
+  each head's codes with one dense DMA.
+
+Writes: prefill is one dynamic_update_slice per layer (new tokens land on a
+lane-dim slice); decode is a per-slot scatter at each slot's own position.
+``lengths`` is per slot (B,), which is what continuous batching needs:
+every slot advances independently.
+
+INT8 mode stores codes plus per-(token, head) scales (L, B, KV, 1, S) —
+the "quantized KV-cache" of the north star; scales are computed at append
+time (absmax over the head dim). The singleton axis makes the per-head
+scale row a (1, S) tile (Pallas block shapes must keep the last two dims
+full or hardware-aligned).
 """
 
 from __future__ import annotations
@@ -21,16 +33,16 @@ from flax import struct
 
 @struct.dataclass
 class KVCache:
-    k: jnp.ndarray                      # (L, B, S, KV, D) bf16 — or int8 codes
+    k: jnp.ndarray                      # (L, B, KV, D, S) bf16 — or int8 codes
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]      # (L, B, S, KV) f32 when quantized
+    k_scale: Optional[jnp.ndarray]      # (L, B, KV, 1, S) f32 when quantized
     v_scale: Optional[jnp.ndarray]
     lengths: jnp.ndarray                # (B,) int32 — tokens cached per slot
     quantized: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[4]
 
     @property
     def batch(self) -> int:
@@ -39,14 +51,15 @@ class KVCache:
 
 def init_cache(n_layers: int, batch: int, max_len: int, n_kv: int, head_dim: int,
                dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
-    shape = (n_layers, batch, max_len, n_kv, head_dim)
+    shape = (n_layers, batch, n_kv, head_dim, max_len)
+    scale_shape = (n_layers, batch, n_kv, 1, max_len)
     lengths = jnp.zeros((batch,), jnp.int32)
     if quantized:
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:4], jnp.float32),
-            v_scale=jnp.zeros(shape[:4], jnp.float32),
+            k_scale=jnp.zeros(scale_shape, jnp.float32),
+            v_scale=jnp.zeros(scale_shape, jnp.float32),
             lengths=lengths,
             quantized=True,
         )
@@ -54,12 +67,19 @@ def init_cache(n_layers: int, batch: int, max_len: int, n_kv: int, head_dim: int
                    k_scale=None, v_scale=None, lengths=lengths, quantized=False)
 
 
+def _to_cache_layout(x):
+    """Projection output (B, T, KV, D) -> cache layout (B, KV, D, T)."""
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
 def _quant_i8(x):
-    """(B, T, KV, D) -> int8 codes + per-(token, head) scales."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    """(B, T, KV, D) -> int8 codes (B, KV, D, T) + scales (B, KV, T)."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1)                    # (B, T, KV)
     scale = jnp.maximum(absmax / 127.0, 1e-8)
-    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
-    return codes.astype(jnp.int8), scale
+    codes = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127)
+    return (_to_cache_layout(codes).astype(jnp.int8),
+            jnp.transpose(scale, (0, 2, 1))[:, :, None])       # (B, KV, 1, T)
 
 
 def append_prefill(cache: KVCache, layer: int, k, v, start) -> KVCache:
@@ -68,63 +88,60 @@ def append_prefill(cache: KVCache, layer: int, k, v, start) -> KVCache:
         kc, ks = _quant_i8(k)
         vc, vs = _quant_i8(v)
         return cache.replace(
-            k=jax.lax.dynamic_update_slice(cache.k, kc[None], (layer, 0, start, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, vc[None], (layer, 0, start, 0, 0)),
-            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks[None], (layer, 0, start, 0)),
-            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs[None], (layer, 0, start, 0)),
+            k=jax.lax.dynamic_update_slice(cache.k, kc[None], (layer, 0, 0, 0, start)),
+            v=jax.lax.dynamic_update_slice(cache.v, vc[None], (layer, 0, 0, 0, start)),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks[None], (layer, 0, 0, 0, start)),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs[None], (layer, 0, 0, 0, start)),
         )
     return cache.replace(
-        k=jax.lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype)[None],
-                                       (layer, 0, start, 0, 0)),
-        v=jax.lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype)[None],
-                                       (layer, 0, start, 0, 0)),
+        k=jax.lax.dynamic_update_slice(
+            cache.k, _to_cache_layout(k).astype(cache.k.dtype)[None],
+            (layer, 0, 0, 0, start)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, _to_cache_layout(v).astype(cache.v.dtype)[None],
+            (layer, 0, 0, 0, start)),
     )
 
 
 def append_decode(cache: KVCache, layer: int, k, v, positions) -> KVCache:
     """Write one token per slot: k/v (B, 1, KV, D) at per-slot ``positions``
-    (B,) — a batch-dim scatter."""
+    (B,) — a batch-dim scatter onto the lane (sequence) axis."""
     b_idx = jnp.arange(cache.batch)
     if cache.quantized:
-        kc, ks = _quant_i8(k)
+        kc, ks = _quant_i8(k)        # (B, KV, D, 1), (B, KV, 1)
         vc, vs = _quant_i8(v)
         return cache.replace(
-            k=cache.k.at[layer, b_idx, positions].set(kc[:, 0]),
-            v=cache.v.at[layer, b_idx, positions].set(vc[:, 0]),
-            k_scale=cache.k_scale.at[layer, b_idx, positions].set(ks[:, 0]),
-            v_scale=cache.v_scale.at[layer, b_idx, positions].set(vs[:, 0]),
+            k=cache.k.at[layer, b_idx, :, :, positions].set(kc[..., 0]),
+            v=cache.v.at[layer, b_idx, :, :, positions].set(vc[..., 0]),
+            k_scale=cache.k_scale.at[layer, b_idx, :, :, positions].set(ks[..., 0]),
+            v_scale=cache.v_scale.at[layer, b_idx, :, :, positions].set(vs[..., 0]),
         )
     return cache.replace(
-        k=cache.k.at[layer, b_idx, positions].set(k[:, 0].astype(cache.k.dtype)),
-        v=cache.v.at[layer, b_idx, positions].set(v[:, 0].astype(cache.v.dtype)),
+        k=cache.k.at[layer, b_idx, :, :, positions].set(
+            _to_cache_layout(k)[..., 0].astype(cache.k.dtype)),
+        v=cache.v.at[layer, b_idx, :, :, positions].set(
+            _to_cache_layout(v)[..., 0].astype(cache.v.dtype)),
     )
 
 
 def write_slot(cache: KVCache, slot, k_slot, v_slot, n_layers: int) -> KVCache:
-    """Overwrite one slot's cache from per-layer K/V stacks
-    (L, T, KV, D) starting at position 0 (continuous-batching prefill)."""
-    if cache.quantized:
-        kc, ks = _quant_i8(k_slot)
-        vc, vs = _quant_i8(v_slot)
-        return cache.replace(
-            k=jax.lax.dynamic_update_slice(cache.k, kc[:, None], (0, slot, 0, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, vc[:, None], (0, slot, 0, 0, 0)),
-            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks[:, None], (0, slot, 0, 0)),
-            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs[:, None], (0, slot, 0, 0)),
-        )
+    """Splice one slot's K/V from a single-slot cache's arrays (L, KV, D, T)
+    — already in cache layout, codes-or-values matching the target dtype
+    (continuous-batching prefill; the caller copies scales alongside)."""
     return cache.replace(
-        k=jax.lax.dynamic_update_slice(cache.k, k_slot[:, None].astype(cache.k.dtype),
-                                       (0, slot, 0, 0, 0)),
-        v=jax.lax.dynamic_update_slice(cache.v, v_slot[:, None].astype(cache.v.dtype),
-                                       (0, slot, 0, 0, 0)),
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_slot[:, None].astype(cache.k.dtype), (0, slot, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_slot[:, None].astype(cache.v.dtype), (0, slot, 0, 0, 0)),
     )
 
 
 def read(cache: KVCache, layer: int, dtype=jnp.bfloat16):
-    """Full-window (B, S, KV, D) dequantized K and V for one layer."""
+    """Full-window (B, KV, D, S) dequantized K and V for one layer (the XLA
+    reference path; the Pallas kernel reads codes directly instead)."""
     k = cache.k[layer]
     v = cache.v[layer]
     if cache.quantized:
-        k = (k.astype(jnp.float32) * cache.k_scale[layer][..., None]).astype(dtype)
-        v = (v.astype(jnp.float32) * cache.v_scale[layer][..., None]).astype(dtype)
+        k = (k.astype(jnp.float32) * cache.k_scale[layer]).astype(dtype)
+        v = (v.astype(jnp.float32) * cache.v_scale[layer]).astype(dtype)
     return k.astype(dtype), v.astype(dtype)

@@ -1,0 +1,213 @@
+"""Fused int8-KV decode attention — Pallas kernel.
+
+The XLA serving path dequantizes the ENTIRE int8 KV window to bf16 and
+materializes it in HBM every decode step (engine/kvcache.py read()), then
+runs 5-D einsums with f32 score intermediates: for one layer that is
+int8-read + bf16-write + bf16-read ≈ 5x the codes' bytes. This kernel reads
+the int8 K/V codes and their per-(token, head) scales directly from HBM,
+applies scales in-register, and never materializes the dequantized window
+— the HBM traffic per layer collapses to the packed bytes themselves.
+
+The reference cannot have this op (it re-encodes a window per token with no
+KV cache, models/base.py:285-287); it is the quantized-KV serving engine
+demanded by the north star (SURVEY.md §7 kernels list).
+
+Layout (set by engine/kvcache.py): codes (L, B, KV, D, S) int8 with the
+sequence on the LANE dim and head_dim on sublanes — a (D, S) tile is
+MXU/VPU-native and the per-(b, head) slice is contiguous in HBM. Scales are
+(L, B, KV, 1, S) f32 — (1, S) tiles. The layer index, per-slot lengths, and sliding window
+ride as scalar prefetch: the kernel DMAs straight out of the full cache
+buffer (no per-layer gather copy), and one compiled kernel serves every
+layer of a lax.scan'd decode step.
+
+Grid: (B, KV) — one program per (slot, kv-head) streams that head's K and V
+(S*D int8 each) once:
+
+    scores[r, s] = (q[r, :] . K[:, s]) * k_scale[s] * attn_scale
+    probs        = softmax(scores + causal/window mask)
+    out[r, :]    = (probs * v_scale)[r, s] . V[:, s]
+
+Two modes (static):
+  * quant_acts=False — K/V codes are converted to f32 in-register; exact
+    math on the stored codes (MORE accurate than the XLA path, which
+    round-trips the dequantized window through bf16).
+  * quant_acts=True — q is re-quantized per (head, r)-row to int8 in-kernel
+    and QK^T runs as a native int8 x int8 MXU dot (the serving form of the
+    reference's per-token QK act quantizer, modules/qmatmul.py:33-51); the
+    prob-row x V product folds v_scale into the probs, quantizes the rows
+    to int8, and runs int8 x int8 again. int32 accumulation is safe:
+    |p|<=127, |v|<=127, S<=131072 < 2^31 / 127^2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _row_quant_i8(x):
+    """(r, S) f32 -> int8 codes + per-row scale (r, 1). Restrictive range
+    +-127, round-half-even (matches qformats int8 semantics)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+            o_ref, *, scale: float, softcap, quant_acts: bool):
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)          # (r, D)
+    k = k_ref[0, 0, 0]                           # (D, S) int8
+    v = v_ref[0, 0, 0]                           # (D, S) int8
+    ks = ks_ref[0, 0, 0, 0][None, :]             # (1, S) f32
+    vs = vs_ref[0, 0, 0, 0][None, :]             # (1, S) f32
+    S = k.shape[-1]
+
+    if quant_acts:
+        qi, qs = _row_quant_i8(q)
+        s32 = jax.lax.dot_general(                # (r, S) int32, int8 MXU
+            qi, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        scores = s32.astype(jnp.float32) * qs * ks
+    else:
+        scores = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * ks
+    scores = scores * scale
+
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
+
+    # causal + sliding window: attend to s <= length[b] (the current token
+    # was appended AT index length), window w > 0 limits to s > length - w
+    length = lens_ref[b]
+    w = win_ref[0]
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    keep = s_ids <= length
+    keep &= (w <= 0) | (s_ids > length - w)
+    scores = jnp.where(keep, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)   # (r, S) f32
+
+    pv = p * vs                                   # fold v scales into probs
+    if quant_acts:
+        pi, ps = _row_quant_i8(pv)
+        o32 = jax.lax.dot_general(                # (r, D) int32, int8 MXU
+            pi, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = o32.astype(jnp.float32) * ps
+    else:
+        out = jax.lax.dot_general(
+            pv, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "softcap", "quant_acts",
+                                   "out_dtype"))
+def _call(layer, lengths, window, q, kc, vc, ks, vs, *, scale, softcap,
+          quant_acts, out_dtype):
+    B, KV, r, D = q.shape
+    L, _, _, _, S = kc.shape
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # layer, lengths, window
+        grid=(B, KV),
+        in_specs=[
+            pl.BlockSpec((1, 1, r, D), lambda b, h, l, le, w: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, D, S),
+                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, D, S),
+                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, S),
+                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, S),
+                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, r, D), lambda b, h, l, le, w: (b, h, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_kernel, scale=scale, softcap=softcap, quant_acts=quant_acts),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, r, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KV * r * S * D,
+            bytes_accessed=2 * B * KV * S * D + 8 * B * KV * S,
+            transcendentals=B * KV * r * S,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(), lengths,
+      jnp.asarray([window], jnp.int32).ravel(), q, kc, vc, ks, vs)
+
+
+def decode_attention(q, cache_k, cache_v, k_scale, v_scale, layer, lengths,
+                     window, *, scale: float, softcap=None,
+                     quant_acts: bool = False, out_dtype=jnp.bfloat16):
+    """q (B, KV, r, D) -> attention output (B, KV, r, D).
+
+    ``cache_k``/``cache_v``: (L, B, KV, D, S) int8; scales
+    (L, B, KV, 1, S) f32; ``layer``/``lengths``/``window`` may be traced
+    (scan data)."""
+    return _call(jnp.asarray(layer, jnp.int32), lengths,
+                 jnp.asarray(window, jnp.int32), q,
+                 cache_k, cache_v, k_scale, v_scale,
+                 scale=float(scale),
+                 softcap=None if softcap is None else float(softcap),
+                 quant_acts=quant_acts, out_dtype=out_dtype)
+
+
+def supported(cfg, cache, T: int) -> bool:
+    """Kernel engages for single-token decode on an int8 cache with
+    MXU-friendly shapes; alibi (BLOOM) stays on the XLA path."""
+    if not cache.quantized or T != 1:
+        return False
+    if cfg.pos_embedding == "alibi":
+        return False
+    D, S = cfg.head_dim, cache.max_len
+    return S % 128 == 0 and D % 8 == 0 and cfg.num_heads % cfg.num_kv_heads == 0
+
+
+def acts_mode(qk_op, sv_op):
+    """Map the attention-matmul quantizer configs onto the kernel's modes.
+
+    Returns False (exact float mode) when both matmuls are unquantized,
+    True (in-kernel int8 per-row act quant — the serving form of the
+    reference's per-token QK/SV act quantizers) when BOTH act_in slots are
+    symmetric int8 per-token with no act_out quantizer, and None when the
+    config is anything else (XLA fallback handles it)."""
+    def kind(op):
+        if op is None or op.act_in.qtype == "dummy":
+            return "none"
+        a = op.act_in
+        from ..qformats.formats import ElemFormat
+        if (a.qtype == "int" and a.fmt == ElemFormat.int8
+                and a.group_size == -1 and not a.zero_point and not a.mse
+                and op.act_out.qtype == "dummy"):
+            return "i8"
+        return "other"
+
+    k1, k2 = kind(qk_op), kind(sv_op)
+    if k1 == "none" and k2 == "none":
+        return False
+    if k1 == "i8" and k2 == "i8":
+        return True
+    return None

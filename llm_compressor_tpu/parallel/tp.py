@@ -116,9 +116,10 @@ def tp_param_specs(params, n_model: int, fused: bool = False):
 
 
 def tp_cache_specs(cache: KVCache):
-    """KV-head axis over "model", batch over "data"."""
-    kv = P(None, "data", None, "model", None)
-    sc = P(None, "data", None, "model")
+    """KV-head axis over "model", batch over "data" — cache layout
+    (L, B, KV, D, S), scales (L, B, KV, 1, S) (engine/kvcache.py)."""
+    kv = P(None, "data", "model", None, None)
+    sc = P(None, "data", "model", None, None)
     return KVCache(
         k=kv, v=kv,
         k_scale=sc if cache.k_scale is not None else None,
