@@ -1,12 +1,20 @@
-"""Continuous batching — slot-based serving loop.
+"""Continuous batching — slot-based serving loop with chunked admission.
 
 The north-star serving engine: requests stream in, each is prefilled into a
 free slot of a shared KV cache, and ONE jitted decode step advances every
-active slot per iteration; finished slots are recycled immediately. Prompt
-prefill runs on a single-slot cache (bucketed lengths to bound
-recompilation) and its K/V window is copied into the shared cache.
+active slot per iteration; finished slots are recycled immediately.
 
-All device work is two jitted programs (bucketed prefill, batched decode);
+Admission never stalls decode: prompts prefill in fixed-size CHUNKS on a
+single-slot mini cache, and the scheduler interleaves at most one chunk per
+decode step — a long prompt costs active slots one chunk of extra latency
+per decode step, not its whole prefill (the reference has no scheduler at
+all; this is the serving-engine half of the north star). When no slot is
+decoding, chunks run back-to-back. The fixed chunk length also means ONE
+compiled prefill program for every prompt length (the old per-bucket
+programs re-compiled per length class — brutal on a 2-6 min remote-compile
+tunnel); ``warmup()`` pre-compiles both programs.
+
+All device work is two jitted programs (chunk prefill, batched decode);
 the scheduler is a thin host loop.
 """
 
@@ -39,19 +47,27 @@ class Request:
     done: bool = False
 
 
-def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return ((n + 511) // 512) * 512
+@dataclass
+class _Pending:
+    """A request mid-admission: its prompt prefills chunk-by-chunk into a
+    single-slot mini cache, interleaved with decode steps."""
+    req: Request
+    mini: KVCache
+    padded: np.ndarray              # (1, ceil(T/C)*C) zero-padded prompt
+    length: int                     # true prompt length T
+    offset: int = 0                 # tokens prefilled so far
+    last: Optional[jnp.ndarray] = None   # last-token logits (final chunk)
 
 
-@partial(jax.jit, static_argnames=("cfg", "qcfg"))
-def _prefill_one(params, tokens, cache1: KVCache, last_idx, *, cfg, qcfg):
-    """Bucketed single-slot prefill; ``last_idx`` picks the real last token's
-    logits (prompts are zero-padded to the bucket; the padding's K/V beyond
-    last_idx is causally masked and overwritten as the slot decodes)."""
-    logits, cache1 = _forward_cached(params, cfg, tokens, cache1, jnp.int32(0), qcfg)
+@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
+def _prefill_chunk(params, tokens, cache1: KVCache, start, last_idx, *,
+                   cfg, qcfg):
+    """One fixed-size prompt chunk on a single-slot cache at offset
+    ``start`` (traced — the same compiled program serves every chunk of
+    every prompt). ``last_idx`` picks the prompt's true last-token logits
+    within the chunk; its value only matters on the final chunk (padding
+    K/V beyond it is causally masked and overwritten as the slot decodes)."""
+    logits, cache1 = _forward_cached(params, cfg, tokens, cache1, start, qcfg)
     last = jax.lax.dynamic_index_in_dim(logits, last_idx, axis=1, keepdims=False)
     return last, cache1
 
@@ -75,17 +91,20 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: ModelConfig, batch_slots: int = 8,
                  max_len: int = 1024, qcfg: Optional[QuantConfig] = None,
-                 quantized_kv: bool = False, seed: int = 0):
+                 quantized_kv: bool = False, seed: int = 0,
+                 prefill_chunk: int = 128):
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg
         self.slots = batch_slots
         self.max_len = max_len
         self.quantized_kv = quantized_kv
+        self.prefill_chunk = min(prefill_chunk, max_len)
         self.cache = init_cache(cfg.num_layers, batch_slots, max_len,
                                 cfg.num_kv_heads, cfg.head_dim,
                                 quantized=quantized_kv)
         self.slot_req: List[Optional[Request]] = [None] * batch_slots
+        self.pending: Dict[int, _Pending] = {}        # slot -> mid-admission
         self.queue: List[Request] = []
         self.finished: Dict[int, np.ndarray] = {}
         self.next_token = np.zeros((batch_slots, 1), dtype=np.int32)
@@ -94,40 +113,93 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, tokens: np.ndarray, **kw) -> int:
+        tokens = np.asarray(tokens, np.int32).ravel()
+        assert tokens.size > 0, "empty prompt"
         self._uid += 1
-        self.queue.append(Request(self._uid, np.asarray(tokens, np.int32).ravel(), **kw))
+        self.queue.append(Request(self._uid, tokens, **kw))
         return self._uid
 
-    def _admit(self):
+    def warmup(self):
+        """Pre-compile the two device programs (chunk prefill + decode).
+        First-hit remote compiles take minutes over the tunnel; call this
+        before serving traffic. Safe: the dummy decode writes K/V at
+        position 0 of empty slots, which admission later overwrites."""
+        mini = init_cache(self.cfg.num_layers, 1, self.max_len,
+                          self.cfg.num_kv_heads, self.cfg.head_dim,
+                          quantized=self.quantized_kv)
+        last, mini = _prefill_chunk(
+            self.params, jnp.zeros((1, self.prefill_chunk), jnp.int32), mini,
+            jnp.int32(0), jnp.int32(0), cfg=self.cfg, qcfg=self.qcfg)
+        last.block_until_ready()
+        logits, self.cache = _decode_all(
+            self.params, jnp.asarray(self.next_token), self.cache,
+            jnp.zeros((self.slots,), jnp.bool_), cfg=self.cfg, qcfg=self.qcfg)
+        logits.block_until_ready()
+
+    def _start_pending(self):
+        """Assign queued requests to free slots as chunked admissions."""
         for s in range(self.slots):
-            if self.slot_req[s] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            T = len(req.tokens)
-            bucket = min(_bucket(T), self.max_len)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, :T] = req.tokens
-            mini = init_cache(self.cfg.num_layers, 1, bucket,
-                              self.cfg.num_kv_heads, self.cfg.head_dim,
-                              quantized=self.quantized_kv)
-            logits, mini = _prefill_one(self.params, jnp.asarray(padded), mini,
-                                        jnp.int32(T - 1),
-                                        cfg=self.cfg, qcfg=self.qcfg)
-            # splice the mini cache into the shared one
-            self.cache = write_slot(self.cache, s, mini.k[:, 0], mini.v[:, 0],
-                                    self.cfg.num_layers)
-            if self.quantized_kv:
-                self.cache = self.cache.replace(
-                    k_scale=jax.lax.dynamic_update_slice(
-                        self.cache.k_scale, mini.k_scale[:, 0][:, None],
-                        (0, s, 0, 0, 0)),
-                    v_scale=jax.lax.dynamic_update_slice(
-                        self.cache.v_scale, mini.v_scale[:, 0][:, None],
-                        (0, s, 0, 0, 0)),
-                )
-            self.cache = self.cache.replace(lengths=self.cache.lengths.at[s].set(T))
-            self.slot_req[s] = req
-            self.next_token[s, 0] = self._pick(logits, req)
+            if (self.slot_req[s] is None and s not in self.pending
+                    and self.queue):
+                req = self.queue.pop(0)
+                T = len(req.tokens)
+                C = self.prefill_chunk
+                padded = np.zeros((1, -(-T // C) * C), np.int32)
+                padded[0, :T] = req.tokens
+                mini = init_cache(self.cfg.num_layers, 1, self.max_len,
+                                  self.cfg.num_kv_heads, self.cfg.head_dim,
+                                  quantized=self.quantized_kv)
+                self.pending[s] = _Pending(req, mini, padded, T)
+
+    def _advance_pending(self, s: int):
+        """Run ONE prompt chunk for slot ``s``; splice + activate when the
+        prompt is fully prefilled."""
+        p = self.pending[s]
+        C = self.prefill_chunk
+        chunk = jnp.asarray(p.padded[:, p.offset:p.offset + C])
+        last_idx = max(0, min(p.length - 1 - p.offset, C - 1))
+        p.last, p.mini = _prefill_chunk(
+            self.params, chunk, p.mini, jnp.int32(p.offset),
+            jnp.int32(last_idx), cfg=self.cfg, qcfg=self.qcfg)
+        p.offset += C
+        if p.offset < p.padded.shape[1]:
+            return
+        # admission complete: splice the mini cache into the shared one
+        self.cache = write_slot(self.cache, s, p.mini.k[:, 0], p.mini.v[:, 0],
+                                self.cfg.num_layers)
+        if self.quantized_kv:
+            self.cache = self.cache.replace(
+                k_scale=jax.lax.dynamic_update_slice(
+                    self.cache.k_scale, p.mini.k_scale[:, 0][:, None],
+                    (0, s, 0, 0, 0)),
+                v_scale=jax.lax.dynamic_update_slice(
+                    self.cache.v_scale, p.mini.v_scale[:, 0][:, None],
+                    (0, s, 0, 0, 0)),
+            )
+        self.cache = self.cache.replace(
+            lengths=self.cache.lengths.at[s].set(p.length))
+        self.slot_req[s] = p.req
+        self.next_token[s, 0] = self._pick(p.last, p.req)
+        del self.pending[s]
+
+    def _admit(self):
+        self._start_pending()
+        if any(r is not None and not r.done for r in self.slot_req):
+            # Slots are decoding: at most ONE chunk of admission work per
+            # decode step, shortest-remaining-prompt first (short prompts
+            # never queue behind a long one mid-prefill).
+            if self.pending:
+                s = min(self.pending,
+                        key=lambda s: (self.pending[s].padded.shape[1]
+                                       - self.pending[s].offset, s))
+                self._advance_pending(s)
+                self._start_pending()
+        else:
+            # Nothing decoding: run admissions back-to-back.
+            while self.pending:
+                for s in list(self.pending):
+                    self._advance_pending(s)
+                self._start_pending()
 
     def _pick(self, logits, req: Request) -> int:
         self.key, sub = jax.random.split(self.key)
@@ -152,7 +224,7 @@ class ContinuousBatcher:
                 self._retire(s)
         self._admit()
         active_list = [r is not None and not r.done for r in self.slot_req]
-        if not any(active_list) and not self.queue:
+        if not any(active_list) and not self.queue and not self.pending:
             return False
         active = jnp.asarray(active_list, dtype=jnp.bool_)
         logits, self.cache = _decode_all(
