@@ -2,13 +2,18 @@
 shaped) model, single chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R,
+   "gbs_effective": G, "stream_gbs": S, "roofline_frac": F}
 
 ``value`` is decode tokens/sec/chip with int4-g128 packed weights executing
 through the fused Pallas dequant-matmul; ``vs_baseline`` is the speedup over
 the same model with dense bf16 weights (the reference publishes no
 throughput numbers — BASELINE.md — so bf16-on-the-same-hardware is the
-baseline).
+baseline). ``gbs_effective`` is bytes-touched per decode step (packed
+weights + scales + the full KV window the kernels stream) divided by
+step time; ``stream_gbs`` is an HBM stream anchor measured IN THE SAME RUN
+(chip throughput swings ~3x across minutes — only the intra-run ratio
+``roofline_frac`` is meaningful).
 """
 
 import json
@@ -16,6 +21,49 @@ import sys
 import time
 
 import numpy as np
+
+
+def _stream_gbs(iters=64, mib=512):
+    """Same-run HBM stream anchor: one jitted fori_loop whose every
+    iteration reads+writes a ``mib``-MiB f32 buffer (value-chained, so no
+    iteration is tunnel-cache servable); fresh input values for the timed
+    call (identical dispatches are served from a tunnel-side cache and
+    'measure' impossible speeds — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":  # CPU CI: keep it instant
+        iters, mib = 2, 8
+    n = mib * 1024 * 1024 // 4
+    x = jnp.arange(n, dtype=jnp.float32) * 1e-6
+
+    @jax.jit
+    def walk(x):
+        return jax.lax.fori_loop(0, iters, lambda i, a: a * 1.0000001 + 1.0, x)
+
+    walk(x).block_until_ready()                   # compile (untimed)
+    x2 = (x + 2.0).block_until_ready()            # fresh values
+    t0 = time.perf_counter()
+    walk(x2).block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters * 2 * x.nbytes / dt / 1e9
+
+
+def _decode_bytes_per_step(params, cache):
+    """Bytes touched by one decode step: every weight leaf (packed codes,
+    scales, norms, the packed lm_head — the embedding table is excluded:
+    decode gathers B rows of it, it is never streamed) plus the full KV
+    window (codes + scales) the attention reads."""
+    import jax
+
+    embed_ids = {id(l) for l in jax.tree_util.tree_leaves(
+        {k: params[k] for k in ("embed", "pos_embed") if k in params})}
+    wbytes = sum(l.nbytes for l in jax.tree_util.tree_leaves(params)
+                 if id(l) not in embed_ids)
+    kvbytes = sum(a.nbytes for a in
+                  (cache.k, cache.v, cache.k_scale, cache.v_scale)
+                  if a is not None)
+    return wbytes + kvbytes
 
 
 def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=32,
@@ -48,7 +96,8 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=32,
                                       cfg=cfg, qcfg=qcfg)
     toks.block_until_ready()
     dt = time.perf_counter() - t0
-    return batch * steps / dt
+    gbs = _decode_bytes_per_step(params, cache) * steps / dt / 1e9
+    return batch * steps / dt, gbs
 
 
 def main():
@@ -77,20 +126,24 @@ def main():
 
     params = init_params(cfg, jax.random.PRNGKey(0))
 
-    bf16_tps = _bench_decode(stack_model(fuse_model(
+    bf16_tps, _ = _bench_decode(stack_model(fuse_model(
         jax.tree_util.tree_map(lambda x: x, params), cfg, None)), cfg)
 
     rtn(params, cfg, qcfg)          # weights onto the int4 grid (+ int8 head)
     pack_model(params, cfg, qcfg)   # real packed QTensors (fused W4A8 path)
     params = fuse_model(params, cfg, qcfg)  # qkv|gateup concat (one launch)
     params = stack_model(params)    # scan-over-layers: O(1) compile depth
-    int4_tps = _bench_decode(params, cfg, qcfg=qcfg)
+    int4_tps, gbs = _bench_decode(params, cfg, qcfg=qcfg)
+    stream = _stream_gbs()
 
     print(json.dumps({
         "metric": "llama1b_w4a8g128_decode_tokens_per_sec_per_chip",
         "value": round(int4_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(int4_tps / bf16_tps, 3),
+        "gbs_effective": round(gbs, 1),
+        "stream_gbs": round(stream, 1),
+        "roofline_frac": round(gbs / stream, 3),
     }))
 
 

@@ -177,7 +177,12 @@ def decode_attention(q, cache_k, cache_v, k_scale, v_scale, layer, lengths,
 
 def supported(cfg, cache, T: int) -> bool:
     """Kernel engages for single-token decode on an int8 cache with
-    MXU-friendly shapes; alibi (BLOOM) stays on the XLA path."""
+    MXU-friendly shapes; alibi (BLOOM) stays on the XLA path.
+    LLMC_NO_FUSED_ATTN=1 forces the XLA path (A/B benchmarking)."""
+    import os
+
+    if os.environ.get("LLMC_NO_FUSED_ATTN"):
+        return False
     if not cache.quantized or T != 1:
         return False
     if cfg.pos_embedding == "alibi":
