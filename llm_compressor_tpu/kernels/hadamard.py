@@ -29,20 +29,85 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 
 
-def _quadratic_residues(p: int) -> np.ndarray:
-    r = np.zeros(p, dtype=np.int64)
-    r[np.unique((np.arange(1, p) ** 2) % p)] = 1
-    return r
+def _prime_power(q: int):
+    """(p, k) with q = p^k for prime p, else None."""
+    for p in range(2, q + 1):
+        if p * p > q and p != q:
+            break
+        if q % p == 0:
+            k = 0
+            m = q
+            while m % p == 0:
+                m //= p
+                k += 1
+            return (p, k) if m == 1 else None
+    return (q, 1)
 
 
-def _jacobsthal(p: int) -> np.ndarray:
-    """Q[i, j] = chi(i - j) with chi the quadratic character mod p."""
-    chi = np.zeros(p, dtype=np.int64)
-    qr = _quadratic_residues(p)
-    for a in range(1, p):
-        chi[a] = 1 if qr[a] else -1
-    idx = (np.arange(p)[:, None] - np.arange(p)[None, :]) % p
-    return chi[idx]
+def _gf_tables(p: int, k: int):
+    """Addition/multiplication over GF(p^k); elements are integers whose
+    base-p digits are polynomial coefficients (mod an irreducible monic
+    degree-k polynomial found by exhaustive root/factor check)."""
+    q = p ** k
+    if k == 1:
+        add = (np.arange(p)[:, None] + np.arange(p)[None, :]) % p
+        mul = (np.arange(p)[:, None] * np.arange(p)[None, :]) % p
+        return add, mul
+
+    def digits(e):
+        return [(e // p ** i) % p for i in range(k)]
+
+    def undig(c):
+        return sum((ci % p) * p ** i for i, ci in enumerate(c))
+
+    def polymul_mod(a, b, red):
+        # a, b coefficient lists (low->high); reduce by monic ``red`` of deg k
+        out = [0] * (len(a) + len(b) - 1)
+        for i, ai in enumerate(a):
+            for j, bj in enumerate(b):
+                out[i + j] = (out[i + j] + ai * bj) % p
+        for d in range(len(out) - 1, k - 1, -1):
+            c = out[d]
+            if c:
+                out[d] = 0
+                for i in range(k):
+                    out[d - k + i] = (out[d - k + i] - c * red[i]) % p
+        return out[:k]
+
+    # find an irreducible monic poly x^k + r_{k-1} x^{k-1} + ... + r_0:
+    # irreducible over GF(p) for k <= 3 iff it has no root in GF(p)
+    assert k <= 3, "GF(p^k) tables implemented for k <= 3"
+    red = None
+    for tail in range(p ** k):
+        r = digits(tail)
+        if all(sum(rc * x ** i for i, rc in enumerate(r)) % p != (-x ** k) % p
+               for x in range(p)):
+            red = r
+            break
+    assert red is not None
+    add = np.zeros((q, q), np.int64)
+    mul = np.zeros((q, q), np.int64)
+    for a in range(q):
+        da = digits(a)
+        for b in range(q):
+            db = digits(b)
+            add[a, b] = undig([x + y for x, y in zip(da, db)])
+            mul[a, b] = undig(polymul_mod(da, db, red))
+    return add, mul
+
+
+def _jacobsthal(q: int) -> np.ndarray:
+    """Q[i, j] = chi(a_i - a_j) with chi the quadratic character of
+    GF(q) — any prime power q (the reference's tables only ever encode
+    Paley matrices; here they are constructed)."""
+    p, k = _prime_power(q)
+    add, mul = _gf_tables(p, k)
+    neg = np.array([int(np.where(add[b] == 0)[0][0]) for b in range(q)])
+    squares = set(int(mul[a, a]) for a in range(1, q))
+    chi = np.array([0] + [1 if a in squares else -1 for a in range(1, q)],
+                   dtype=np.int64)
+    diff = add[np.arange(q)[:, None], neg[None, :]]   # a_i + (-a_j)
+    return chi[diff]
 
 
 def _paley1(p: int) -> np.ndarray:
@@ -76,19 +141,27 @@ def _paley2(p: int) -> np.ndarray:
     return H
 
 
+# K -> (construction, field size q). Covers the reference get_hadK sizes
+# {12, 20, 28, 36, 40, 52, 60, 108, 140} (hadamard_utils.py:18-87): Paley I
+# gives q+1 (q = 3 mod 4), Paley II gives 2(q+1) (q = 1 mod 4, incl. the
+# prime power 25 for K=52); 40 = 20 * 2^1 needs no base of its own. The
+# remaining table sizes 156/172 have no Paley construction (both need
+# Williamson sequences — published tables, out of constructive scope).
+_BASES = {
+    12: (_paley1, 11), 20: (_paley1, 19), 28: (_paley2, 13),
+    36: (_paley2, 17), 44: (_paley1, 43), 52: (_paley2, 25),
+    60: (_paley2, 29), 108: (_paley1, 107), 140: (_paley1, 139),
+}
+
+
 @lru_cache(maxsize=None)
 def base_hadamard(K: int) -> np.ndarray:
     """Base Hadamard matrix of non-power-of-two order K (verified)."""
     if K == 1:
         H = np.ones((1, 1), dtype=np.int64)
-    elif K == 12:
-        H = _paley1(11)
-    elif K == 20:
-        H = _paley1(19)
-    elif K == 44:
-        H = _paley1(43)
-    elif K == 36:
-        H = _paley2(17)
+    elif K in _BASES:
+        fn, q = _BASES[K]
+        H = fn(q)
     else:
         raise ValueError(f"No Hadamard base construction for K={K}")
     assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64)), K
@@ -101,11 +174,11 @@ def decompose(n: int) -> tuple[int, int]:
     def _is_pow2(v):
         return v > 0 and (v & (v - 1)) == 0
 
-    for K in (1, 12, 20, 36, 44):
+    for K in (1, *sorted(_BASES)):
         if n % K == 0 and _is_pow2(n // K):
             return K, n // K
-    raise ValueError(f"Hadamard size {n} unsupported "
-                     "(need n = 2^k * K, K in {{1, 12, 20, 36, 44}})")
+    raise ValueError(f"Hadamard size {n} unsupported (need n = 2^k * K, "
+                     f"K in {{1, {', '.join(map(str, sorted(_BASES)))}}})")
 
 
 # ---------------------------------------------------------------------------

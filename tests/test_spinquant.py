@@ -29,14 +29,17 @@ from llm_compressor_tpu.algorithms.spinquant import (
 
 
 class TestHadamard:
-    @pytest.mark.parametrize("K", [12, 20, 36, 44])
+    @pytest.mark.parametrize("K", [12, 20, 28, 36, 44, 52, 60, 108, 140])
     def test_base_matrices(self, K):
         H = base_hadamard(K)
         assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64))
 
-    @pytest.mark.parametrize("n", [64, 128, 96, 160, 3072, 2560])
+    @pytest.mark.parametrize("n", [64, 128, 96, 160, 3072, 2560,
+                                   896, 3584, 3840, 6656, 6912, 8960])
     def test_orthonormal(self, n):
-        # 96 = 8*12, 160 = 8*20, 3072 = 256*12, 2560 = 128*20
+        # 96 = 8*12, 160 = 8*20, 3072 = 256*12, 2560 = 128*20,
+        # 896 = 32*28, 3584 = 128*28 (qwen2-class), 3840 = 64*60,
+        # 6656 = 128*52, 6912 = 64*108, 8960 = 64*140
         H = np.asarray(hadamard_matrix(n))
         np.testing.assert_allclose(H @ H.T, np.eye(n), atol=1e-4)
 
