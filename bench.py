@@ -66,7 +66,7 @@ def _decode_bytes_per_step(params, cache):
     return wbytes + kvbytes
 
 
-def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=32,
+def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=128,
                   prefill_len=128):
     import jax
     import jax.numpy as jnp
@@ -144,6 +144,7 @@ def main():
         "gbs_effective": round(gbs, 1),
         "stream_gbs": round(stream, 1),
         "roofline_frac": round(gbs / stream, 3),
+        "batch": 128,
     }))
 
 

@@ -53,25 +53,51 @@ def main():
     pack_model(params, cfg, qcfg)
     int4 = stack_model(fuse_model(params, cfg, qcfg))
 
-    res = {}
+    # Phase 1: compile every variant (tunnel compiles take minutes, during
+    # which chip tenancy drifts — measuring inline would skew the A/B).
+    # Phase 2: interleave timed calls A,B,C,D x rounds so every variant sees
+    # the same chip conditions; report per-round numbers and best-of.
+    import jax.numpy as jnp
 
-    def run(tag, p, q):
-        tps, gbs = _bench_decode(p, cfg, qcfg=q, steps=args.steps,
-                                 batch=args.batch, prefill_len=args.prefill)
-        res[tag] = {"tok_s": round(tps, 1), "gbs": round(gbs, 1)}
-        print(f"{tag}: {tps:,.1f} tok/s  ({gbs:.1f} GB/s-effective)",
-              flush=True)
+    from llm_compressor_tpu.engine import decode_greedy_steps, init_cache
 
-    os.environ.pop("LLMC_NO_FUSED_ATTN", None)
-    run("int4_fused_attn", int4, qcfg)
-    run("bf16_fused_attn", bf16, None)
-    # the env flag changes TRACED structure — drop the jit caches so the
-    # second pass retraces (persistent /tmp/jax_cache still serves repeats)
-    os.environ["LLMC_NO_FUSED_ATTN"] = "1"
-    jax.clear_caches()
-    run("int4_xla_attn", int4, qcfg)
-    run("bf16_xla_attn", bf16, None)
-    os.environ.pop("LLMC_NO_FUSED_ATTN", None)
+    def build(tag, p, q, fused):
+        max_len = -(-(args.prefill + args.steps + 2) // 128) * 128
+        cache = init_cache(cfg.num_layers, args.batch, max_len,
+                           cfg.num_kv_heads, cfg.head_dim, quantized=True)
+        cache = cache.replace(lengths=jnp.full((args.batch,), args.prefill,
+                                               jnp.int32))
+        rng = np.random.default_rng(abs(hash(tag)) % 2**31)
+        tok = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                       (args.batch, 1)).astype(np.int32))
+        toks, cache = decode_greedy_steps(p, tok, cache, n=args.steps,
+                                          cfg=cfg, qcfg=q, fused_attn=fused)
+        toks.block_until_ready()
+        print(f"compiled {tag}", flush=True)
+        return dict(tag=tag, p=p, q=q, fused=fused, cache=cache,
+                    tok=toks[:, -1:])
+
+    variants = [
+        build("int4_fused", int4, qcfg, True),
+        build("bf16_fused", bf16, None, True),
+        build("int4_xla", int4, qcfg, False),
+        build("bf16_xla", bf16, None, False),
+    ]
+
+    res = {v["tag"]: [] for v in variants}
+    for rnd in range(3):
+        for v in variants:
+            t0 = time.perf_counter()
+            toks, v["cache"] = decode_greedy_steps(
+                v["p"], v["tok"], v["cache"], n=args.steps, cfg=cfg,
+                qcfg=v["q"], fused_attn=v["fused"])
+            toks.block_until_ready()
+            dt = time.perf_counter() - t0
+            v["tok"] = toks[:, -1:]
+            res[v["tag"]].append(round(args.batch * args.steps / dt, 1))
+        print(f"round {rnd}: "
+              + "  ".join(f"{v['tag']}={res[v['tag']][-1]:,.0f}"
+                          for v in variants), flush=True)
     res["stream_gbs"] = round(_stream_gbs(), 1)
     print(f"stream anchor: {res['stream_gbs']} GB/s", flush=True)
     print(json.dumps(res))

@@ -41,7 +41,7 @@ from .kvcache import KVCache, append_decode, append_prefill, init_cache, read
 
 def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
                       cache: KVCache, start, ops: Optional[LayerOps],
-                      cos, sin, mask, window=None):
+                      cos, sin, mask, window=None, fused_attn=True):
     """Attention for a (B, T, E) slice at absolute ``positions``, writing
     K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
     ``start`` is None, using positions[:, 0]) and attending over the whole
@@ -95,13 +95,16 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
     qk_op = ops.qk if ops is not None else None
     sv_op = ops.sv if ops is not None else None
 
-    # Fused int8-KV decode attention: the Pallas kernel reads the int8
-    # codes + scales straight from the cache buffer (layer index is scalar
-    # prefetch) — no dequantized bf16 window, no f32 score round-trips.
+    # Fused int8-KV decode attention (OPT-IN, fused_attn=True): the Pallas
+    # kernel reads codes + scales straight from the cache buffer. Measured
+    # on-chip it loses to the XLA codes path below (launch + per-program
+    # overheads ~0.9 ms/layer at decode shapes dwarf the DMA time —
+    # benchmarks/bench_attention_variants.py), so the default decode path
+    # is the XLA int8-codes attention.
     from ..kernels import decode_attention as da
 
     quant_acts = da.acts_mode(qk_op, sv_op)
-    if da.supported(cfg, cache, T) and quant_acts is not None:
+    if fused_attn and da.supported(cfg, cache, T) and quant_acts is not None:
         q4 = q.reshape(B, KV, r, D)  # T == 1; head h = kv*r + j
         if cfg.arch == "opt":  # pre-scaled query (reference opt.py:113)
             q4 = q4 * jnp.asarray(scale, q4.dtype)
@@ -116,6 +119,51 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
             quant_acts=quant_acts, out_dtype=x.dtype)
         # (B, KV, r, D) -> (B, 1, H*D) with head order h = kv*r + j
         out = out.reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), cache
+
+    # int8-codes decode attention in plain XLA: when both attention matmuls
+    # are int8-per-token-quantized (the W4A8 headline config) and the cache
+    # is int8, run the QK^T and P.V dots DIRECTLY on the stored codes as
+    # native int8 x int8 MXU dot_generals. No dequantized window is ever
+    # materialized and no Pallas launch is paid (measured: the (B, KV)-grid
+    # Pallas kernel costs ~0.9 ms/layer in launch+program overheads at
+    # decode shapes, ~10x the actual DMA time — benchmarks/
+    # bench_attention_variants.py). Math identical to the fused kernel's
+    # quant_acts mode: per-row absmax int8 quant of q and of probs*v_scale,
+    # int32 accumulation, scales applied in f32 epilogues.
+    if (cache.quantized and T == 1 and quant_acts is True
+            and cfg.pos_embedding != "alibi"):
+        Kc, Vc = cache.k[layer_idx], cache.v[layer_idx]   # (B, KV, D, S) i8
+        ksc = cache.k_scale[layer_idx]                    # (B, KV, 1, S)
+        vsc = cache.v_scale[layer_idx]
+
+        def _row_quant(t):
+            absmax = jnp.max(jnp.abs(t), axis=-1, keepdims=True)
+            s = jnp.maximum(absmax / 127.0, 1e-8)
+            return jnp.clip(jnp.round(t / s), -127, 127).astype(jnp.int8), s
+
+        q4 = q.reshape(B, KV, r, D).astype(jnp.float32)
+        if cfg.arch == "opt":                 # pre-scaled query (opt.py:113)
+            q4 = q4 * scale
+            eff_scale = 1.0
+        else:
+            eff_scale = scale
+        qi, qs = _row_quant(q4)
+        s32 = jax.lax.dot_general(            # (B, KV, r, S) int8 MXU
+            qi, Kc, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32)
+        scores = s32.astype(jnp.float32) * qs * ksc * eff_scale
+        scores = softcap(scores, cfg.attn_logit_softcapping)
+        scores = scores + mask[:, None]       # (B, T=1, S) -> (B, 1, 1, S)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pv = probs * vsc                      # fold v scales into probs
+        pi, ps = _row_quant(pv)
+        o32 = jax.lax.dot_general(            # (B, KV, r, D) int8 MXU
+            pi, Vc, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32)
+        out = (o32.astype(jnp.float32) * ps).astype(x.dtype)
+        out = out.reshape(B, T, H * D)        # head order h = kv*r + j
         return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
                        slot="o"), cache
 
@@ -180,12 +228,12 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
 
 
 def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
-                  start, ops, cos, sin, mask, window=None):
+                  start, ops, cos, sin, mask, window=None, fused_attn=True):
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window)
+                                     window, fused_attn)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, cache
 
@@ -193,11 +241,11 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window)
+                                     window, fused_attn)
     else:
         a, cache = _cached_attention(lp, cfg, layer_idx, x, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window)
+                                     window, fused_attn)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -217,7 +265,7 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
 
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
-                    qcfg: Optional[QuantConfig]):
+                    qcfg: Optional[QuantConfig], fused_attn: bool = True):
     from ..models.transformer import (
         layer_scan_plan,
         layer_window,
@@ -255,7 +303,7 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             w = w_i if windows is not None else None
             mask = window_mask(positions, kv_pos, w)
             hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops,
-                                   cos, sin, mask, w)
+                                   cos, sin, mask, w, fused_attn)
             return (hh, cc), None
 
         (h, cache), _ = jax.lax.scan(
@@ -267,7 +315,8 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             w = layer_window(cfg, i)
             mask = window_mask(positions, kv_pos, w)
             h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
-                                     layer_ops(cfg, qcfg, i), cos, sin, mask, w)
+                                     layer_ops(cfg, qcfg, i), cos, sin, mask,
+                                     w, fused_attn)
     logits = head(params, cfg, h, qcfg)
     return logits, cache
 
@@ -281,18 +330,22 @@ def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("cfg", "qcfg", "fused_attn"),
+         donate_argnums=(2,))
 def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
-                qcfg: Optional[QuantConfig] = None):
+                qcfg: Optional[QuantConfig] = None, fused_attn: bool = False):
     """One token (B, 1) -> (logits (B, V), cache)."""
-    logits, cache = _forward_cached(params, cfg, token, cache, None, qcfg)
+    logits, cache = _forward_cached(params, cfg, token, cache, None, qcfg,
+                                    fused_attn)
     cache = cache.replace(lengths=cache.lengths + 1)
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("n", "cfg", "qcfg"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "fused_attn"),
+         donate_argnums=(2,))
 def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
-                        cfg: ModelConfig, qcfg: Optional[QuantConfig] = None):
+                        cfg: ModelConfig, qcfg: Optional[QuantConfig] = None,
+                        fused_attn: bool = False):
     """``n`` greedy decode steps inside ONE jit (lax.scan with the argmax
     token fed back) -> (tokens (B, n), cache). ``tokens[:, i]`` is the
     argmax AFTER consuming ``token`` and i generated predecessors.
@@ -303,7 +356,8 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
 
     def body(carry, _):
         tok, cc = carry
-        logits, cc = _forward_cached(params, cfg, tok, cc, None, qcfg)
+        logits, cc = _forward_cached(params, cfg, tok, cc, None, qcfg,
+                                     fused_attn)
         cc = cc.replace(lengths=cc.lengths + 1)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return (nxt, cc), nxt[:, 0]

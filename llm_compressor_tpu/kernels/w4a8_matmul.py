@@ -77,18 +77,23 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
         acc[...] = jnp.zeros_like(acc)
 
     if int4:
+        # Whole-tile unpack (two wide VPU passes instead of 2*gpk narrow
+        # ones), then ONE K=group MXU dot per group: 'group halves' packing
+        # puts group gi's low-nibble elements at byte columns
+        # [gi*half, (gi+1)*half) and its high-nibble elements in the same
+        # columns' top nibbles, so concat([lo_g, hi_g]) IS the group's
+        # elements in natural order and pairs with the full x group slice —
+        # halving MXU passes vs two K=group/2 dots.
         wp = wp_ref[...].astype(jnp.int32)
+        lo = ((wp & 0xF) - 8).astype(jnp.int8)       # (TN, tk/2)
+        hi = ((wp >> 4) - 8).astype(jnp.int8)
         for gi in range(gpk):
-            b = wp[:, gi * half:(gi + 1) * half]
-            lo = ((b & 0xF) - 8).astype(jnp.int8)
-            hi = ((b >> 4) - 8).astype(jnp.int8)
-            xlo = x_ref[:, gi * group: gi * group + half]
-            xhi = x_ref[:, gi * group + half: (gi + 1) * group]
+            wg = jnp.concatenate(
+                [lo[:, gi * half:(gi + 1) * half],
+                 hi[:, gi * half:(gi + 1) * half]], axis=1)  # (TN, group)
             part = jax.lax.dot_general(
-                xlo, lo, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            part += jax.lax.dot_general(
-                xhi, hi, dimension_numbers=(((1,), (1,)), ((), ())),
+                x_ref[:, gi * group:(gi + 1) * group], wg,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             acc[...] += part.astype(jnp.float32) * st_ref[gi, :][None, :]
     else:

@@ -102,24 +102,19 @@ def _e2e(arch, qspec, quant_acts_expected):
         assert da.acts_mode(ops0.qk, ops0.sv) is quant_acts_expected
 
     def run(p, use_kernel):
-        import llm_compressor_tpu.kernels.decode_attention as mod
-        real = mod.supported
-        if not use_kernel:
-            mod.supported = lambda *a, **k: False
-        try:
-            # S=128 (kernel-eligible); int8 cache
-            cache = init_cache(cfg.num_layers, 2, 128, cfg.num_kv_heads,
-                               cfg.head_dim, quantized=True)
-            logits, cache = prefill(p, jnp.asarray(toks[:, :10]), cache,
-                                    cfg=cfg, qcfg=qcfg)
-            outs = [np.asarray(logits)]
-            for t in range(10, 12):
-                logits, cache = decode_step(p, jnp.asarray(toks[:, t:t+1]),
-                                            cache, cfg=cfg, qcfg=qcfg)
-                outs.append(np.asarray(logits))
-            return np.stack(outs)
-        finally:
-            mod.supported = real
+        # S=128 (kernel-eligible); int8 cache. fused_attn=True opts into
+        # the Pallas kernel (the default decode path is XLA int8-codes).
+        cache = init_cache(cfg.num_layers, 2, 128, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(p, jnp.asarray(toks[:, :10]), cache,
+                                cfg=cfg, qcfg=qcfg)
+        outs = [np.asarray(logits)]
+        for t in range(10, 12):
+            logits, cache = decode_step(p, jnp.asarray(toks[:, t:t+1]),
+                                        cache, cfg=cfg, qcfg=qcfg,
+                                        fused_attn=use_kernel)
+            outs.append(np.asarray(logits))
+        return np.stack(outs)
 
     ref = run(params, use_kernel=False)
     out = run(params, use_kernel=True)
@@ -155,7 +150,8 @@ def test_stacked_scan_decode_uses_kernel():
         logits, cache = prefill(p, jnp.asarray(toks[:, :10]), cache, cfg=cfg)
         out = [np.asarray(logits)]
         for t in range(10, 12):
-            logits, cache = decode_step(p, jnp.asarray(toks[:, t:t+1]), cache, cfg=cfg)
+            logits, cache = decode_step(p, jnp.asarray(toks[:, t:t+1]), cache,
+                                        cfg=cfg, fused_attn=True)
             out.append(np.asarray(logits))
         return np.stack(out)
 
