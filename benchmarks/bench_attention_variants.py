@@ -65,7 +65,7 @@ def main():
         ids = jnp.arange(S)[None, None, None, :]
         return jnp.where(ids <= lengths[:, None, None, None], s, -1e9)
 
-    def attn_xla_dequant(li, q):
+    def attn_xla_dequant(li, q, kc, vc, ks, vs):
         K = (kc[li].astype(jnp.float32) * ks[li]).astype(jnp.bfloat16)
         V = (vc[li].astype(jnp.float32) * vs[li]).astype(jnp.bfloat16)
         s = jnp.einsum("bkrd,bkds->bkrs", q.astype(jnp.bfloat16), K,
@@ -74,7 +74,7 @@ def main():
         return jnp.einsum("bkrs,bkds->bkrd", p, V,
                           preferred_element_type=jnp.float32)
 
-    def attn_xla_codes(li, q):
+    def attn_xla_codes(li, q, kc, vc, ks, vs):
         qi, qs = row_quant(q)
         s32 = jax.lax.dot_general(  # (B, KV, r, D) . (B, KV, D, S) int8 MXU
             qi, kc[li], dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
@@ -88,7 +88,7 @@ def main():
             preferred_element_type=jnp.int32)
         return o32.astype(jnp.float32) * ps
 
-    def attn_pallas(li, q):
+    def attn_pallas(li, q, kc, vc, ks, vs):
         return da.decode_attention(q, kc, vc, ks, vs, li, lengths, 0,
                                    scale=scale, quant_acts=True,
                                    out_dtype=jnp.float32)
@@ -122,7 +122,7 @@ def main():
             preferred_element_type=jnp.int32)         # (KV, r, D)
         o_ref[0] = o32.astype(jnp.float32) * ps
 
-    def attn_pallas_b(li, q):
+    def attn_pallas_b(li, q, kc, vc, ks, vs):
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(B,),
             in_specs=[
@@ -152,18 +152,20 @@ def main():
         )(jnp.asarray([li], jnp.int32).ravel(), lengths, q, kc, vc, ks, vs)
 
     def make(fn):
+        # cache arrays ride as jit ARGS (closed-over device arrays embed in
+        # the tunnel compile payload -> HTTP 413 at S=2048; CLAUDE.md)
         @jax.jit
-        def run(q):
+        def run(q, kc, vc, ks, vs):
             def outer(i, q):
                 def layer(q, li):
-                    o = fn(li, q)
+                    o = fn(li, q, kc, vc, ks, vs)
                     # feed output forward so every iteration computes on
                     # fresh values (no tunnel-cache-able repeats)
                     return (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype), None
                 q, _ = jax.lax.scan(layer, q, jnp.arange(L))
                 return q
             return jax.lax.fori_loop(0, args.outer, outer, q)
-        return run
+        return lambda q: run(q, kc, vc, ks, vs)
 
     variants = {"xla_dequant": make(attn_xla_dequant),
                 "xla_codes": make(attn_xla_codes),
@@ -174,12 +176,13 @@ def main():
     # numeric sanity: codes and pallas must match closely (jitted — eager
     # op-by-op dispatch would mini-compile every op over the tunnel)
     @jax.jit
-    def _parity(q):
-        a = attn_xla_codes(0, q)
-        b = attn_pallas(0, q)
+    def _parity(q, kc, vc, ks, vs):
+        a = attn_xla_codes(0, q, kc, vc, ks, vs)
+        b = attn_pallas(0, q, kc, vc, ks, vs)
         return jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9)
 
-    print(f"codes-vs-pallas rel err: {float(_parity(q0)):.2e}", flush=True)
+    print(f"codes-vs-pallas rel err: "
+          f"{float(_parity(q0, kc, vc, ks, vs)):.2e}", flush=True)
 
     for name, fn in variants.items():
         fn(q0).block_until_ready()
