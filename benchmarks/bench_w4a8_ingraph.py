@@ -23,7 +23,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--M", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -38,15 +38,20 @@ def main():
     from llm_compressor_tpu.kernels.w4a8_matmul import w4a8_matmul
     from llm_compressor_tpu.qformats import build_quant_config, quantize_pack
 
-    M, ITERS = args.M, args.iters
+    M = args.M
     GROUP = 128
-    SHAPES = [  # (name, C, N, fmt)
-        ("qkv", 2048, 3072, "int4"),
-        ("o", 2048, 2048, "int4"),
-        ("gateup", 2048, 16384, "int4"),
-        ("down", 8192, 2048, "int4"),
-        ("head", 2048, 128256, "int8"),
+    # per-shape scan lengths sized so one dispatch does >= ~60 GB of weight
+    # traffic (~200 ms at 300 GB/s) — the tunnel's dispatch round trip
+    # measured ~33 ms this session, so shorter calls are RTT noise
+    SHAPES = [  # (name, C, N, fmt, iters)
+        ("qkv", 2048, 3072, "int4", 16384),
+        ("o", 2048, 2048, "int4", 16384),
+        ("gateup", 2048, 16384, "int4", 3072),
+        ("down", 8192, 2048, "int4", 3072),
+        ("head", 2048, 128256, "int8", 224),
     ]
+    if args.iters:
+        SHAPES = [(n, C, N, f, args.iters) for (n, C, N, f, _) in SHAPES]
     rng = np.random.default_rng(0)
 
     def build(name, C, N, fmt):
@@ -58,35 +63,39 @@ def main():
         scales_t = qt.scales.reshape(N, C // GROUP)
         return qt, Wd, scales_t
 
-    def chain(y, C):
-        """(M, N) f32/bf16 -> fresh (M, C) bf16 input for the next call
-        (value-dependent so no iteration is hoisted or cache-served)."""
-        r = jnp.sum(y.astype(jnp.float32), axis=-1, keepdims=True)  # (M, 1)
-        base = jax.lax.broadcasted_iota(jnp.float32, (1, C), 1) * 1e-4
-        return (base + jnp.tanh(r) * 0.1).astype(jnp.bfloat16)
+    def chain(x, y):
+        """Evolve the (M, C) input using a GLOBAL MAX over the (M, N)
+        output: a reduction XLA cannot reassociate through the dot (a sum
+        would collapse to x @ rowsum(W)!) that keeps every output column
+        live (a slice dep would let XLA compute only those columns —
+        CLAUDE.md). x drifts each iteration so no two dispatches or
+        iterations see equal values."""
+        m = jnp.max(y.astype(jnp.float32))
+        return (x.astype(jnp.float32) * 0.999
+                + 0.001 * m / (1.0 + jnp.abs(m))).astype(jnp.bfloat16)
 
     # weights ride as jit ARGS everywhere — closed-over device arrays embed
     # in the tunnel compile payload (HTTP 413 >100MB on the vocab head)
-    def make_kernel(qt, C):
+    def make_kernel(qt, C, iters):
         @jax.jit
         def run(x0, qt):
             def step(x, _):
-                return chain(w4a8_matmul(x, qt), C), None
-            x, _ = jax.lax.scan(step, x0, length=ITERS)
+                return chain(x, w4a8_matmul(x, qt)), None
+            x, _ = jax.lax.scan(step, x0, length=iters)
             return x
         return lambda x0: run(x0, qt)
 
-    def make_bf16(Wd, C):
+    def make_bf16(Wd, C, iters):
         @jax.jit
         def run(x0, Wd):
             def step(x, _):
                 y = jnp.dot(x, Wd.T, preferred_element_type=jnp.float32)
-                return chain(y, C), None
-            x, _ = jax.lax.scan(step, x0, length=ITERS)
+                return chain(x, y), None
+            x, _ = jax.lax.scan(step, x0, length=iters)
             return x
         return lambda x0: run(x0, Wd)
 
-    def make_xla_grouped(qt, scales_t, C, N, fmt):
+    def make_xla_grouped(qt, scales_t, C, N, fmt, iters):
         codes = qt.codes  # int4: (N, G, g/2) packed; int8: (N, G, g)
         G = C // GROUP
         if fmt == "int4":
@@ -107,46 +116,41 @@ def main():
                 p32 = jnp.einsum("mgc,ngc->mng", xi, wg,
                                  preferred_element_type=jnp.int32)
                 y = jnp.einsum("mng,ng->mn", p32.astype(jnp.float32), scales_t)
-                return chain(y, C), None
-            x, _ = jax.lax.scan(step, x0, length=ITERS)
+                return chain(x, y), None
+            x, _ = jax.lax.scan(step, x0, length=iters)
             return x
         wg = jax.device_put(wg)
         return lambda x0: run(x0, wg, scales_t)
 
-    @jax.jit
-    def empty(x0):
-        x, _ = jax.lax.scan(lambda x, _: (chain(x[:, :1] * 1.0001, x.shape[1]), None),
-                            x0, length=ITERS)
-        return x
-
     runs = []
-    for name, C, N, fmt in SHAPES:
+    for name, C, N, fmt, iters in SHAPES:
         qt, Wd, scales_t = build(name, C, N, fmt)
         x0 = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32),
                          jnp.bfloat16)
         pbytes = qt.codes.size * qt.codes.dtype.itemsize + qt.scales.nbytes
-        runs.append((f"{name}[{fmt}]/kernel", make_kernel(qt, C), x0, pbytes))
-        runs.append((f"{name}/bf16", make_bf16(Wd, C), x0, Wd.nbytes))
-        runs.append((f"{name}/xla_i8", make_xla_grouped(qt, scales_t, C, N, fmt),
-                     x0, N * C + scales_t.nbytes))
-    x0e = jnp.asarray(rng.normal(size=(M, 2048)).astype(np.float32), jnp.bfloat16)
-    runs.append(("empty", empty, x0e, 0))
+        runs.append((f"{name}[{fmt}]/kernel", make_kernel(qt, C, iters),
+                     x0, pbytes, iters))
+        runs.append((f"{name}/bf16", make_bf16(Wd, C, iters), x0, Wd.nbytes,
+                     iters))
+        runs.append((f"{name}/xla_i8",
+                     make_xla_grouped(qt, scales_t, C, N, fmt, iters),
+                     x0, N * C + scales_t.nbytes, iters))
 
-    for name, fn, x0, _ in runs:
+    for name, fn, x0, _, _ in runs:
         fn(x0).block_until_ready()
         print(f"compiled {name}", flush=True)
 
     for rnd in range(3):
         print(f"--- round {rnd}", flush=True)
-        for name, fn, x0, pbytes in runs:
+        for name, fn, x0, pbytes, iters in runs:
             xf = (x0 + 0.01 * (rnd + 1)).block_until_ready()
             t0 = time.perf_counter()
             fn(xf).block_until_ready()
             dt = time.perf_counter() - t0
-            per = dt / ITERS * 1e6
-            gbs = pbytes * ITERS / dt / 1e9
-            print(f"  {name:22s} {per:9.1f} us/call  {gbs:7.1f} GB/s(w)",
-                  flush=True)
+            per = dt / iters * 1e6
+            gbs = pbytes * iters / dt / 1e9
+            print(f"  {name:22s} {per:9.1f} us/call  {gbs:7.1f} GB/s(w)"
+                  f"  [{dt*1e3:6.0f} ms total]", flush=True)
 
 
 if __name__ == "__main__":

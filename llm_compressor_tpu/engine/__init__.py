@@ -11,7 +11,8 @@ from .batching import ContinuousBatcher, Request
 from .kvcache import KVCache, init_cache
 from .generate import (generate, generate_text, prefill, decode_step,
                        decode_greedy_steps)
+from .speculative import decode_verify_step, generate_speculative
 
 __all__ = ["KVCache", "init_cache", "generate", "generate_text", "prefill",
            "decode_step", "decode_greedy_steps", "ContinuousBatcher",
-           "Request"]
+           "Request", "decode_verify_step", "generate_speculative"]

@@ -85,8 +85,8 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-    if start is None:  # decode: per-slot scatter at positions[:, 0]
-        cache = append_decode(cache, layer_idx, k, v, positions[:, 0])
+    if start is None:  # decode: per-slot scatter at positions (B, T)
+        cache = append_decode(cache, layer_idx, k, v, positions)
     else:
         cache = append_prefill(cache, layer_idx, k, v, start)
 
@@ -276,8 +276,9 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
 
     B, T = tokens.shape
     if start is None:  # decode: per-slot positions from cache lengths
-        positions = cache.lengths[:, None]
-        assert T == 1
+        # T > 1 = speculative verify step (all T candidate tokens scored in
+        # one forward; the cache scatter lands them at per-slot offsets)
+        positions = cache.lengths[:, None] + jnp.arange(T)[None, :]
     else:
         positions = jnp.broadcast_to(start + jnp.arange(T)[None, :], (B, T))
     h = embed(params, cfg, tokens, positions)

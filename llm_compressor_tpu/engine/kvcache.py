@@ -104,23 +104,32 @@ def append_prefill(cache: KVCache, layer: int, k, v, start) -> KVCache:
 
 
 def append_decode(cache: KVCache, layer: int, k, v, positions) -> KVCache:
-    """Write one token per slot: k/v (B, 1, KV, D) at per-slot ``positions``
-    (B,) — a batch-dim scatter onto the lane (sequence) axis."""
-    b_idx = jnp.arange(cache.batch)
+    """Write T tokens per slot: k/v (B, T, KV, D) at per-slot ``positions``
+    — (B,) for single-token decode or (B, T) for speculative verify steps —
+    a batch-dim scatter onto the lane (sequence) axis."""
+    T = k.shape[1]
+    if positions.ndim == 1:
+        positions = positions[:, None]                  # (B, 1)
+    b_idx = jnp.arange(cache.batch)[:, None]            # broadcasts vs (B, T)
     if cache.quantized:
-        kc, ks = _quant_i8(k)        # (B, KV, D, 1), (B, KV, 1)
+        kc, ks = _quant_i8(k)        # (B, KV, D, T), (B, KV, 1, T)
         vc, vs = _quant_i8(v)
+        # index arrays (B, T) on dims (batch, lane) -> writes (B, T, KV, D)
+        km = jnp.moveaxis(kc, -1, 1)                    # (B, T, KV, D)
+        vm = jnp.moveaxis(vc, -1, 1)
+        ksm = jnp.moveaxis(ks, -1, 1)                   # (B, T, KV, 1)
+        vsm = jnp.moveaxis(vs, -1, 1)
         return cache.replace(
-            k=cache.k.at[layer, b_idx, :, :, positions].set(kc[..., 0]),
-            v=cache.v.at[layer, b_idx, :, :, positions].set(vc[..., 0]),
-            k_scale=cache.k_scale.at[layer, b_idx, :, :, positions].set(ks[..., 0]),
-            v_scale=cache.v_scale.at[layer, b_idx, :, :, positions].set(vs[..., 0]),
+            k=cache.k.at[layer, b_idx, :, :, positions].set(km),
+            v=cache.v.at[layer, b_idx, :, :, positions].set(vm),
+            k_scale=cache.k_scale.at[layer, b_idx, :, :, positions].set(ksm),
+            v_scale=cache.v_scale.at[layer, b_idx, :, :, positions].set(vsm),
         )
     return cache.replace(
         k=cache.k.at[layer, b_idx, :, :, positions].set(
-            _to_cache_layout(k)[..., 0].astype(cache.k.dtype)),
+            k.astype(cache.k.dtype)),
         v=cache.v.at[layer, b_idx, :, :, positions].set(
-            _to_cache_layout(v)[..., 0].astype(cache.v.dtype)),
+            v.astype(cache.v.dtype)),
     )
 
 

@@ -1,0 +1,134 @@
+"""Speculative decoding — prompt-lookup (n-gram) drafting + batched verify.
+
+A serving-engine feature beyond the reference (its generation loop
+re-encodes a window per token with no cache at all, models/base.py:285-322).
+Greedy speculative decoding with a FREE draft model: candidate continuations
+are proposed by matching the sequence's own recent n-gram against its
+history (prompt lookup decoding) — highly effective on repetitive/
+structured text (code, extraction, chat with quoting) and never worse than
+one token per step.
+
+One verify step scores K+1 positions in a single forward against the KV
+cache (T=K+1 decode with per-slot position offsets — the same jitted
+program every step):
+
+    draft   d_1..d_K        (host n-gram lookup, free)
+    forward [t, d_1..d_K] -> greedy g_0..g_K
+    accept the longest prefix with d_{i+1} == g_i; emit g_0..g_a (a+1
+    tokens); cache lengths advance by a+1 — K/V written for rejected
+    positions sit beyond `lengths` where the causal mask hides them until
+    overwritten.
+
+Greedy-exact: emitted tokens are identical to plain argmax decoding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..qformats.config import QuantConfig
+from .generate import _forward_cached, prefill
+from .kvcache import KVCache, init_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
+def decode_verify_step(params, tokens, cache: KVCache, *, cfg: ModelConfig,
+                       qcfg: Optional[QuantConfig] = None):
+    """Score ``tokens`` (B, K+1) = [committed last token | K drafts] in one
+    forward at per-slot offsets. Returns (greedy (B, K+1) int32, cache with
+    K/V appended for all K+1 positions; ``lengths`` NOT advanced — the
+    caller advances by its per-slot acceptance)."""
+    logits, cache = _forward_cached(params, cfg, tokens, cache, None, qcfg)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+def advance(cache: KVCache, accepted) -> KVCache:
+    """Advance per-slot lengths by ``accepted``+1 committed tokens."""
+    return cache.replace(
+        lengths=cache.lengths + jnp.asarray(accepted, jnp.int32))
+
+
+def propose_ngram(history: List[int], k: int, ngram: int = 2,
+                  min_hist: int = 4) -> List[int]:
+    """Prompt-lookup draft: find the most recent earlier occurrence of the
+    trailing ``ngram`` and propose the ``k`` tokens that followed it.
+    Falls back to shorter grams, then to repeating the last token."""
+    h = history
+    n = len(h)
+    if n >= min_hist:
+        for g in range(min(ngram, n - 1), 0, -1):
+            tail = h[n - g:]
+            # scan right-to-left for the previous occurrence
+            for s in range(n - g - 1, -1, -1):
+                if h[s:s + g] == tail and s + g < n:
+                    cont = h[s + g:s + g + k]
+                    if cont:
+                        return (cont + [h[-1]] * (k - len(cont)))[:k]
+    return [h[-1]] * k
+
+
+def generate_speculative(params, cfg: ModelConfig, prompt_tokens: np.ndarray,
+                         max_new_tokens: int = 100, k_draft: int = 4,
+                         eos_id: Optional[int] = None,
+                         qcfg: Optional[QuantConfig] = None,
+                         quantized_kv: bool = False,
+                         max_len: Optional[int] = None,
+                         ngram: int = 2):
+    """Greedy generation with prompt-lookup speculative decoding.
+
+    Returns (sequences (B, <=T+max_new) as a list of per-slot token lists
+    including the prompt, mean_accepted float — draft tokens accepted per
+    verify step, 0 <= a <= k_draft)."""
+    B, T = prompt_tokens.shape
+    # headroom: every verify step may write k_draft+1 positions
+    max_len = max_len or (T + max_new_tokens + k_draft + 1)
+    cache = init_cache(cfg.num_layers, B, max_len, cfg.num_kv_heads,
+                       cfg.head_dim, quantized=quantized_kv)
+    logits, cache = prefill(params, jnp.asarray(prompt_tokens), cache,
+                            cfg=cfg, qcfg=qcfg)
+    first = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+
+    hist = [list(map(int, prompt_tokens[b])) + [int(first[b])]
+            for b in range(B)]
+    done = [False] * B
+    new_counts = [1] * B
+    acc_hist = []
+
+    while not all(done):
+        toks = np.zeros((B, 1 + k_draft), np.int32)
+        for b in range(B):
+            toks[b, 0] = hist[b][-1]
+            toks[b, 1:] = propose_ngram(hist[b], k_draft, ngram)
+        greedy, cache = decode_verify_step(params, jnp.asarray(toks), cache,
+                                           cfg=cfg, qcfg=qcfg)
+        greedy = np.asarray(greedy)
+        accepted = np.zeros((B,), np.int32)
+        for b in range(B):
+            if done[b]:
+                # frozen slot: commit nothing, don't advance (its verify
+                # writes land beyond `lengths` and are re-overwritten;
+                # advancing would creep past max_len while others finish)
+                accepted[b] = -1
+                continue
+            a = 0
+            while a < k_draft and toks[b, a + 1] == greedy[b, a]:
+                a += 1
+            emit = list(map(int, greedy[b, : a + 1]))
+            for t in emit:
+                if done[b] or new_counts[b] >= max_new_tokens:
+                    break
+                hist[b].append(t)
+                new_counts[b] += 1
+                if (eos_id is not None and t == eos_id) or \
+                        new_counts[b] >= max_new_tokens:
+                    done[b] = True
+            accepted[b] = a
+            acc_hist.append(a)
+        cache = advance(cache, accepted + 1)
+    return hist, (float(np.mean(acc_hist)) if acc_hist else 0.0)
