@@ -41,10 +41,11 @@ def _stream_gbs(iters=64, mib=512):
     def walk(x):
         return jax.lax.fori_loop(0, iters, lambda i, a: a * 1.0000001 + 1.0, x)
 
-    walk(x).block_until_ready()                   # compile (untimed)
-    x2 = (x + 2.0).block_until_ready()            # fresh values
+    jax.device_get(walk(x)[:8])                   # compile (untimed)
+    x2 = x + 2.0
+    jax.device_get(x2[:8])                        # fresh values, queue drained
     t0 = time.perf_counter()
-    walk(x2).block_until_ready()
+    jax.device_get(walk(x2)[:8])                  # device_get = real barrier
     dt = time.perf_counter() - t0
     return iters * 2 * x.nbytes / dt / 1e9
 
@@ -86,15 +87,17 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=128,
     cache = cache.replace(lengths=jnp.full((batch,), prefill_len, jnp.int32))
 
     tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, 1)).astype(np.int32))
-    # warm call = compile + cache-warm of the SAME n-step executable
+    # warm call = compile + cache-warm of the SAME n-step executable.
+    # NOTE: block_until_ready can return at ENQUEUE on the axon tunnel —
+    # a small device_get is the only reliable completion barrier (CLAUDE.md)
     toks, cache = decode_greedy_steps(params, tok, cache, n=steps,
                                       cfg=cfg, qcfg=qcfg)
-    toks.block_until_ready()
+    jax.device_get(toks)
 
     t0 = time.perf_counter()
     toks, cache = decode_greedy_steps(params, toks[:, -1:], cache, n=steps,
                                       cfg=cfg, qcfg=qcfg)
-    toks.block_until_ready()
+    jax.device_get(toks)
     dt = time.perf_counter() - t0
     gbs = _decode_bytes_per_step(params, cache) * steps / dt / 1e9
     return batch * steps / dt, gbs

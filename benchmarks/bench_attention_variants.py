@@ -185,15 +185,15 @@ def main():
           f"{float(_parity(q0, kc, vc, ks, vs)):.2e}", flush=True)
 
     for name, fn in variants.items():
-        fn(q0).block_until_ready()
+        jax.device_get(fn(q0)[:1, :1, :1, :1])
         print(f"compiled {name}", flush=True)
     for rnd in range(3):
         out = []
         for name, fn in variants.items():
-            qf = q0 + 0.01 * rnd + (0.001 if rnd else 0.0)
-            qf.block_until_ready()
+            qf = q0 + 0.01 * rnd + 0.001
+            jax.device_get(qf[:1, :1, :1, :1])
             t0 = time.perf_counter()
-            fn(qf).block_until_ready()
+            jax.device_get(fn(qf)[:1, :1, :1, :1])
             dt = time.perf_counter() - t0
             out.append(f"{name}: {dt*1e3:7.1f} ms ({gb/dt:6.1f} GB/s)")
         print(f"round {rnd}:  " + "   ".join(out), flush=True)

@@ -72,7 +72,7 @@ def main():
                                        (args.batch, 1)).astype(np.int32))
         toks, cache = decode_greedy_steps(p, tok, cache, n=args.steps,
                                           cfg=cfg, qcfg=q, fused_attn=fused)
-        toks.block_until_ready()
+        jax.device_get(toks)
         print(f"compiled {tag}", flush=True)
         return dict(tag=tag, p=p, q=q, fused=fused, cache=cache,
                     tok=toks[:, -1:])
@@ -91,7 +91,7 @@ def main():
             toks, v["cache"] = decode_greedy_steps(
                 v["p"], v["tok"], v["cache"], n=args.steps, cfg=cfg,
                 qcfg=v["q"], fused_attn=v["fused"])
-            toks.block_until_ready()
+            jax.device_get(toks)   # real completion barrier (CLAUDE.md)
             dt = time.perf_counter() - t0
             v["tok"] = toks[:, -1:]
             res[v["tag"]].append(round(args.batch * args.steps / dt, 1))

@@ -137,15 +137,18 @@ def main():
                      x0, N * C + scales_t.nbytes, iters))
 
     for name, fn, x0, _, _ in runs:
-        fn(x0).block_until_ready()
+        jax.device_get(fn(x0)[:1, :1])
         print(f"compiled {name}", flush=True)
 
     for rnd in range(3):
         print(f"--- round {rnd}", flush=True)
         for name, fn, x0, pbytes, iters in runs:
-            xf = (x0 + 0.01 * (rnd + 1)).block_until_ready()
+            xf = x0 + 0.01 * (rnd + 1)
+            jax.device_get(xf[:1, :1])   # drain queue; fresh values
             t0 = time.perf_counter()
-            fn(xf).block_until_ready()
+            # device_get of a 1-element slice is the completion barrier —
+            # block_until_ready may return at enqueue on this tunnel
+            jax.device_get(fn(xf)[:1, :1])
             dt = time.perf_counter() - t0
             per = dt / iters * 1e6
             gbs = pbytes * iters / dt / 1e9
