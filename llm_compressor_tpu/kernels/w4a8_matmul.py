@@ -72,10 +72,11 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
     gpk = tk // group
     half = group // 2
 
-    @pl.when(k == 0)
-    def _():
-        acc[...] = jnp.zeros_like(acc)
-
+    # Per-group contributions accumulate in a LOCAL value (registers/Mosaic
+    # temporaries) — `acc[...] +=` per group was a VMEM read-modify-write of
+    # the whole (TM, TN) f32 tile x gpk, 8x the tile's own HBM bytes in VMEM
+    # traffic (measured: the int8 head ran 3x slower than its DMA floor).
+    total = None
     if int4:
         # Whole-tile unpack (two wide VPU passes instead of 2*gpk narrow
         # ones), then ONE K=group MXU dot per group: 'group halves' packing
@@ -95,7 +96,8 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
                 x_ref[:, gi * group:(gi + 1) * group], wg,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            acc[...] += part.astype(jnp.float32) * st_ref[gi, :][None, :]
+            c = part.astype(jnp.float32) * st_ref[gi, :][None, :]
+            total = c if total is None else total + c
     else:
         for gi in range(gpk):
             xg = x_ref[:, gi * group:(gi + 1) * group]
@@ -103,7 +105,16 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
             part = jax.lax.dot_general(
                 xg, wg, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            acc[...] += part.astype(jnp.float32) * st_ref[gi, :][None, :]
+            c = part.astype(jnp.float32) * st_ref[gi, :][None, :]
+            total = c if total is None else total + c
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = total
+
+    @pl.when(k > 0)
+    def _():
+        acc[...] += total
 
     @pl.when(k == nk - 1)
     def _():

@@ -218,9 +218,15 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None,
         from ..kernels.w4a8_matmul import w4a8_matmul
 
         ai = op.act_in if op is not None else None
+        # The integer kernel's per-group f32 scale-accumulate is O(M*N*C/g)
+        # VPU work — ~1.5x the int8 MXU time per GROUP ROW, so it only pays
+        # at decode-size M where the bf16 path is weight-DMA-bound anyway;
+        # at prefill M the dequant-to-bf16 kernel's fixed per-byte cost
+        # amortizes and the MXU dominates (bench_w4a8_ingraph.py).
+        m_rows = math.prod(x.shape[:-1])
         if (ai is not None and ai.qtype == "int" and ai.fmt == ElemFormat.int8
                 and ai.group_size == -1 and not ai.zero_point
-                and w4a8_supported(weight)):
+                and m_rows <= 256 and w4a8_supported(weight)):
             y = w4a8_matmul(x, weight, mm_bias,
                             absmax_axis=tp_axis if row_par else None)
         else:
