@@ -160,17 +160,20 @@ def _fp8_kernel(x_ref, w_ref, s_ref, z_ref, out_ref, acc,
 def _dims(qt: QTensor):
     """(N, C, g) from the *array* shapes — inside a shard_map body the
     leaves are local shards, so static QTensor metadata (global logical
-    shape) must not be trusted for kernel dispatch."""
-    N, G, last = qt.codes.shape
+    shape) must not be trusted for kernel dispatch. Storage is flat:
+    codes (N, C[/2]), scales (N, G)."""
+    N, cp = qt.codes.shape
+    G = qt.scales.shape[-1]
+    gp = cp // G
     packed4 = (qt.quantizer.fmt == ElemFormat.int4
                or qt.quantizer.fmt == ElemFormat.fp4_e2m1)
-    g = 2 * last if packed4 else last
+    g = 2 * gp if packed4 else gp
     return N, G * g, g
 
 
 def _supported(qt: QTensor) -> bool:
     q = qt.quantizer
-    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 3:
+    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 2:
         return False
     if q.qtype == "int" and q.fmt in (ElemFormat.int4, ElemFormat.int8):
         pass
@@ -254,19 +257,17 @@ def dequant_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
         tk = 2 * g
     else:
         tk = g
-    scales = qt.scales.reshape(N, C // g)
+    scales = qt.scales  # flat (N, G) — no per-call relayout
     has_zeros = qt.zeros is not None
-    zeros = qt.zeros.reshape(N, C // g) if has_zeros else jnp.zeros_like(scales)
+    zeros = qt.zeros if has_zeros else jnp.zeros_like(scales)
+    codes = qt.codes   # flat (N, C/2) / (N, C)
 
     if q.fmt == ElemFormat.int4 and q.qtype == "int":
         kernel = _int4_kernel
-        codes = qt.codes.reshape(N, C // 2)
     elif q.fmt == ElemFormat.int8 and q.qtype == "int":
         kernel = _int8_kernel
-        codes = qt.codes.reshape(N, C)
     else:  # fp8 variants (fp/mx)
         kernel = _fp8_kernel
-        codes = qt.codes.reshape(N, C)
 
     x2p = x2 if M % 16 == 0 else jnp.pad(x2, ((0, (-M) % 16), (0, 0)))
     out = _call(kernel, x2p.astype(jnp.bfloat16), codes, scales, zeros,

@@ -71,6 +71,14 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
     k = pl.program_id(2)
     gpk = tk // group
     half = group // 2
+    _w4a8_body(x_ref[...], wp_ref, st_ref, sx_ref[...], out_ref, acc,
+               k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
+
+
+def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
+               half, nk, int4):
+    """Shared dot/scale/accumulate body: ``x_i8`` is the (TM, tk) int8
+    activation block, ``sx`` the (TM, 1) f32 act scale (epilogue)."""
 
     # Per-group contributions accumulate in a LOCAL value (registers/Mosaic
     # temporaries) — `acc[...] +=` per group was a VMEM read-modify-write of
@@ -93,14 +101,14 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
                 [lo[:, gi * half:(gi + 1) * half],
                  hi[:, gi * half:(gi + 1) * half]], axis=1)  # (TN, group)
             part = jax.lax.dot_general(
-                x_ref[:, gi * group:(gi + 1) * group], wg,
+                x_i8[:, gi * group:(gi + 1) * group], wg,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             c = part.astype(jnp.float32) * st_ref[gi, :][None, :]
             total = c if total is None else total + c
     else:
         for gi in range(gpk):
-            xg = x_ref[:, gi * group:(gi + 1) * group]
+            xg = x_i8[:, gi * group:(gi + 1) * group]
             wg = wp_ref[:, gi * group:(gi + 1) * group]
             part = jax.lax.dot_general(
                 xg, wg, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -118,7 +126,45 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
 
     @pl.when(k == nk - 1)
     def _():
-        out_ref[...] = (acc[...] * sx_ref[...]).astype(out_ref.dtype)
+        out_ref[...] = (acc[...] * sx).astype(out_ref.dtype)
+
+
+def _w4a8_kernel_actq(x_ref, wp_ref, st_ref, out_ref, acc, xi_s, sx_s, *,
+                      group: int, tk: int, nk: int, int4: bool):
+    """Variant with the per-token int8 activation quantizer INSIDE the
+    kernel: ``x_ref`` is the FULL bf16/f32 activation row block (TM, C),
+    quantized once per M-block into VMEM scratch (``xi_s`` (nk, TM, tk)
+    int8, ``sx_s`` (TM, 1) f32) at the first (j, k) visit and reused for
+    every weight tile.
+
+    Why: the XLA prologue (absmax + divide + round + int8 cast) measured
+    15-18us per call at decode M — more than the whole scale machinery of
+    the kernel itself (experiments/exp_kernel_dissect2.py: the int8
+    kernel dropped 59.7 -> 42.3us once x arrived pre-quantized). The int8
+    cast forces an XLA relayout (bf16 (16,128) tiles -> int8 (32,128))
+    that cannot fuse with the custom call; doing the quantize in VMEM
+    removes the boundary. Grid dim j is 'arbitrary' so the (j==0, k==0)
+    quantize-once is well-defined under any core split.
+
+    Numerics identical to :func:`quantize_acts_per_token` (same jnp ops).
+    """
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    gpk = tk // group
+    half = group // 2
+
+    @pl.when((j == 0) & (k == 0))
+    def _():
+        x32 = x_ref[...].astype(jnp.float32)            # (TM, C)
+        absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-5)
+        sx_s[...] = scale
+        q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+        for kk in range(nk):
+            xi_s[kk] = q[:, kk * tk:(kk + 1) * tk]
+
+    _w4a8_body(xi_s[k], wp_ref, st_ref, sx_s[...], out_ref, acc,
+               k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
 
 
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
@@ -158,6 +204,49 @@ def _call(x_i8, wp, scales_t, sx, *, group, int4, tm, tn, tk,
     )(x_i8, wp, scales_t, sx)
 
 
+@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
+                                   "out_dtype"))
+def _call_actq(x2, wp, scales_t, *, group, int4, tm, tn, tk,
+               out_dtype=jnp.bfloat16):
+    """In-kernel act-quant variant: x2 is the raw (M, C) bf16/f32 block.
+    The full activation row rides as ONE block per M-tile (index constant
+    over j/k -> a single DMA), quantized into VMEM scratch at the first
+    visit. j is 'arbitrary' so the quantize-once at (j==0, k==0) precedes
+    every consumer on the same core."""
+    M, C = x2.shape
+    N = wp.shape[0]
+    nk = C // tk
+    gpk = tk // group
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        partial(_w4a8_kernel_actq, group=group, tk=tk, nk=nk, int4=int4),
+        grid=(_cdiv(M, tm), _cdiv(N, tn), nk),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk // 2 if int4 else tk), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32),
+                        pltpu.VMEM((nk, tm, tk), jnp.int8),
+                        pltpu.VMEM((tm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * C,
+            bytes_accessed=wp.size + scales_t.size * 4 + M * C + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wp, scales_t)
+
+
 def quantize_acts_per_token(x: jnp.ndarray, absmax_axis=None):
     """Per-token symmetric int8 (reference int8-g[-1]-rw semantics).
 
@@ -176,15 +265,18 @@ def quantize_acts_per_token(x: jnp.ndarray, absmax_axis=None):
 def _dims(qt: QTensor):
     """(N, C, g) from the *array* shapes — inside a shard_map body the
     leaves are local shards, so static QTensor metadata (global logical
-    shape) must not be trusted for kernel dispatch."""
-    N, G, last = qt.codes.shape
-    g = 2 * last if qt.quantizer.fmt == ElemFormat.int4 else last
+    shape) must not be trusted for kernel dispatch. Storage is flat:
+    codes (N, C[/2]), scales (N, G)."""
+    N, cp = qt.codes.shape
+    G = qt.scales.shape[-1]
+    gp = cp // G
+    g = 2 * gp if qt.quantizer.fmt == ElemFormat.int4 else gp
     return N, G * g, g
 
 
 def supported(qt: QTensor) -> bool:
     q = qt.quantizer
-    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 3 or q.zero_point:
+    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 2 or q.zero_point:
         return False
     if not (q.qtype == "int" and q.fmt in (ElemFormat.int4, ElemFormat.int8)):
         return False
@@ -205,7 +297,7 @@ def _pick_tk(C: int, g: int) -> int:
 
 
 def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
-                absmax_axis=None) -> jnp.ndarray:
+                absmax_axis=None, act_inside: bool = False) -> jnp.ndarray:
     """y = act_q(x) @ W^T fully integer on the MXU. Callers should have
     act_in == int8 per-token (this kernel IS that quantizer + matmul)."""
     N, C, g = _dims(qt)
@@ -213,10 +305,13 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
     x2 = x.reshape(-1, C)
     M = x2.shape[0]
 
-    x_i8, sx = quantize_acts_per_token(x2, absmax_axis)
-    scales_t = qt.scales.reshape(N, C // g).T  # (G, N): static sublane rows
+    # (G, N) strip: static sublane row per group. Use the pre-materialized
+    # pytree leaf — transposing here (inside a decode scan) is not hoisted
+    # by XLA and measured 7-16us per call (exp_kernel_dissect3.py).
+    scales_t = (qt.scales_t if qt.scales_t is not None
+                else qt.scales.reshape(N, C // g).T)
     int4 = qt.quantizer.fmt == ElemFormat.int4
-    wp = qt.codes.reshape(N, C // 2) if int4 else qt.codes.reshape(N, C)
+    wp = qt.codes  # flat (N, C/2) / (N, C) — no per-call relayout
 
     tm = min(_round_up(M, 32), 256)  # int8 sublane tile is 32
     # Large TN with a cdiv grid: Mosaic masks the partial boundary block, so
@@ -224,13 +319,25 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
     # (TN=256 there costs 3x, measured).
     tn = 1024 if N >= 1024 else next(t for t in (512, 256, 128) if N % t == 0)
     tk = _pick_tk(C, g)
-    if M % tm:
-        pad = (-M) % tm
-        x_i8 = jnp.pad(x_i8, ((0, pad), (0, 0)))
-        sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
-    out = _call(x_i8, wp, scales_t, sx.astype(jnp.float32),
-                group=g, int4=int4, tm=tm, tn=tn, tk=tk,
-                out_dtype=jnp.dtype(x.dtype))
+    if absmax_axis is None and act_inside:
+        # act quant INSIDE the kernel (A/B experiment path; measured ~equal
+        # to the XLA prologue once the scale transpose moved out of the
+        # per-call graph — exp_kernel_dissect3.py showed the XLA act quant
+        # itself costs ~1us, the old 7-16us gap was the (N,G)->(G,N)
+        # transpose XLA would not hoist out of the decode scan)
+        if M % tm:
+            x2 = jnp.pad(x2, ((0, (-M) % tm), (0, 0)))
+        out = _call_actq(x2, wp, scales_t, group=g, int4=int4,
+                         tm=tm, tn=tn, tk=tk, out_dtype=jnp.dtype(x.dtype))
+    else:
+        x_i8, sx = quantize_acts_per_token(x2, absmax_axis)
+        if M % tm:
+            pad = (-M) % tm
+            x_i8 = jnp.pad(x_i8, ((0, pad), (0, 0)))
+            sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
+        out = _call(x_i8, wp, scales_t, sx.astype(jnp.float32),
+                    group=g, int4=int4, tm=tm, tn=tn, tk=tk,
+                    out_dtype=jnp.dtype(x.dtype))
     out = out[:M, :N]
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -352,11 +352,13 @@ def load_compressed(path: "str | Path", cfg: ModelConfig,
                 group, axes = resolve_group(q.group_size, q.eff_axes, W_shape)
                 n_groups = scales.shape[1] if scales.ndim >= 2 else 1
                 blocked = (W_shape[0], n_groups, group)
+                from ..qformats.qtensor import scale_strip
                 node["weight"] = QTensor(
                     codes=codes, scales=scales, zeros=zeros, quantizer=q,
                     shape=W_shape, blocked_shape=blocked,
                     group_axis=2, ngroups_axis=1,
                     dtype=_dt(cfg),
+                    scales_t=scale_strip(q, W_shape, scales),
                 )
     return params
 

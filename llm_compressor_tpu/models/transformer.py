@@ -492,16 +492,21 @@ def _concat_linear(entries, axis0_sizes, shards: int = 1):
         zeros = None
         if any(w.zeros is not None for w in ws):
             zeros = _shard_interleave([w.zeros for w in ws], shards)
+        from ..qformats.qtensor import scale_strip
+
+        scales = _shard_interleave([w.scales for w in ws], shards)
+        shape = (N,) + tuple(q0.shape[1:])
         weight = QTensor(
             codes=_shard_interleave([w.codes for w in ws], shards),
-            scales=_shard_interleave([w.scales for w in ws], shards),
+            scales=scales,
             zeros=zeros,
             quantizer=q0.quantizer,
-            shape=(N,) + tuple(q0.shape[1:]),
+            shape=shape,
             blocked_shape=(N,) + tuple(q0.blocked_shape[1:]),
             group_axis=q0.group_axis,
             ngroups_axis=q0.ngroups_axis,
             dtype=q0.dtype,
+            scales_t=scale_strip(q0.quantizer, shape, scales),
         )
     else:
         weight = _shard_interleave(ws, shards)

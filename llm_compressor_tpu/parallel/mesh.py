@@ -75,6 +75,16 @@ def _leaf_spec(path_keys, leaf, n_model: int = 0) -> P:
                     # row-parallel: shard the GROUP dim (follows contraction)
                     return P(*([None, "model"] + [None] * (nd - 2)))
                 return P()
+            if leafname == "scales_t":
+                # (G, N) transposed strip: axes swapped vs scales
+                shape = getattr(leaf, "shape", ())
+                if (spec == P("model", None) and len(shape) == 2
+                        and (not n_model or shape[1] % n_model == 0)):
+                    return P(None, "model")
+                if (spec == P(None, "model") and len(shape) == 2
+                        and (not n_model or shape[0] % n_model == 0)):
+                    return P("model", None)
+                return P()
             if leafname == "bias":
                 # bias follows the output dim: sharded for col-parallel
                 return P("model") if spec == P("model", None) else P()

@@ -97,6 +97,16 @@ def _leaf_spec(path_keys, leaf, n_model: int, fused: bool = False) -> P:
                 spec = [None] * (nd)
                 spec[0 if col else 1] = "model"
                 return P(*(lead + spec))
+            if leafname == "scales_t":
+                # transposed (G, N) strip: col -> shard N (axis 1),
+                # row -> shard G (axis 0)
+                ax = len(lead) + (1 if col else 0)
+                if not _qt_ok(leaf, ax, n_model):
+                    raise ValueError(f"{slot} QTensor scales_t axis {ax} not "
+                                     f"divisible by model={n_model}")
+                spec = [None] * (nd)
+                spec[1 if col else 0] = "model"
+                return P(*(lead + spec))
             if leafname == "bias":
                 return P(*(lead + ["model"])) if col else P()
             if nd == 2:
@@ -105,6 +115,8 @@ def _leaf_spec(path_keys, leaf, n_model: int, fused: bool = False) -> P:
     if "lm_head" in keys:
         leafname = keys[-1] if keys[-1] is not None else names[-1]
         nd = getattr(leaf, "ndim", 0)
+        if leafname == "scales_t":
+            return P(None, "model")  # (G, N): vocab dim is axis 1
         if leafname in ("weight", "codes", "scales", "zeros", "bias"):
             return P(*(["model"] + [None] * (nd - 1)))  # vocab-sharded
     return P()

@@ -12,9 +12,15 @@ Layout conventions:
   axis is halved* for 4-bit formats (two values per byte, even index in the
   low nibble). Packing always runs along the group axis so a Pallas kernel
   reading one group reads contiguous bytes.
-* ``scales``/``zeros`` have the blocked shape produced by
-  ``find_params`` — one entry per group, broadcastable against the blocked
-  values.
+* Storage is FLAT: the ``(n_groups, group)`` pair produced by blocking is
+  merged back into one axis before storing — ``codes`` for a (N, C) weight
+  is (N, C) int8 / (N, C/2) uint8, ``scales``/``zeros`` are (N, G). TPU
+  tiles the last TWO dims of every array; a 3-D (N, G, g/2) layout puts
+  tiny dims on the (sublane, lane) tiles (padding waste) and makes the
+  per-matmul ``reshape`` a full relayout copy that XLA re-executes on
+  every decode step (measured 7-16us per matmul,
+  experiments/exp_kernel_dissect3.py). The blocked view is reconstructed
+  by :func:`dequantize` from the static metadata (cold path).
 * FP8 codes are stored as native ``float8_e4m3fn`` / ``float8_e5m2`` arrays
   (TPU supports these dtypes directly); FP4-E2M1 codes are 4-bit
   sign/exp/mantissa fields packed two per byte.
@@ -52,6 +58,13 @@ class QTensor:
     group_axis: int = struct.field(pytree_node=False)     # intra-group axis in blocked array
     ngroups_axis: int = struct.field(pytree_node=False, default=0)  # n_groups axis in blocked array
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.bfloat16)
+    # Pre-transposed (G, N) scale strip for 2-D row-wise-grouped weights.
+    # The W4A8 kernel consumes scales as (G, N) sublane rows; transposing
+    # (N, G) -> (G, N) per matmul call inside a decode scan is NOT hoisted
+    # by XLA and measured 7-16us per call (experiments/
+    # exp_kernel_dissect3.py) — so the strip is materialized once at
+    # pack/load/fuse time and rides in the pytree (~3% of the codes' bytes).
+    scales_t: Optional[jnp.ndarray] = None
 
     @property
     def fmt(self) -> ElemFormat:
@@ -156,67 +169,96 @@ def quantize_pack(q: Quantizer, x: jnp.ndarray, scales=None, zeros=None) -> QTen
     else:
         raise ValueError(f"cannot pack qtype {q.qtype}")
 
+    scales32 = scales.astype(jnp.float32)
+    zeros32 = (None if zeros is None or (q.qtype == "int" and not q.zero_point)
+               else jnp.asarray(zeros, jnp.float32))
+    a = meta.axis  # n_groups axis; intra axis is a+1 (blocking.py)
     return QTensor(
-        codes=codes,
-        scales=scales.astype(jnp.float32),
-        zeros=None if zeros is None or (q.qtype == "int" and not q.zero_point) else jnp.asarray(zeros, jnp.float32),
+        codes=_flatten_groups(codes, a),
+        scales=_flatten_groups(scales32, a),
+        zeros=None if zeros32 is None else _flatten_groups(zeros32, a),
         quantizer=q,
         shape=tuple(x.shape),
         blocked_shape=tuple(xb.shape),
         group_axis=intra_axis,
         ngroups_axis=meta.axis,
         dtype=dtype,
+        scales_t=scale_strip(q, tuple(x.shape), scales32),
     )
 
 
+def _flatten_groups(arr: jnp.ndarray, a: int) -> jnp.ndarray:
+    """Merge the (n_groups, group) axis pair (a, a+1) into one flat axis."""
+    s = arr.shape
+    return arr.reshape(s[:a] + (s[a] * s[a + 1],) + s[a + 2:])
+
+
+def scale_strip(q: Quantizer, shape: tuple, scales: jnp.ndarray):
+    """(G, N) transposed scale strip for 2-D row-wise-grouped symmetric int
+    tensors (the W4A8 kernel's eligible set); None otherwise."""
+    if (len(shape) == 2 and q.eff_axes == -1 and q.qtype == "int"
+            and q.fmt in (ElemFormat.int4, ElemFormat.int8)
+            and not q.zero_point):
+        N = shape[0]
+        if scales.size % N == 0:
+            return scales.reshape(N, scales.size // N).T
+    return None
+
+
 def dequantize(qt: QTensor) -> jnp.ndarray:
-    """XLA reference dequantization path (kernels fuse this into the matmul)."""
+    """XLA reference dequantization path (kernels fuse this into the matmul).
+
+    Storage is flat; the blocked (n_groups, group) view is reconstructed
+    here from the *arrays* (inside a shard_map body the leaves are local
+    shards and the static global metadata must not be trusted)."""
     q = qt.quantizer
     p = q.params
-    axes = q.eff_axes
-    intra = qt.group_axis
+    a = qt.ngroups_axis
+    intra = qt.group_axis  # == a + 1 in the blocked view
+    packed4 = q.fmt in (ElemFormat.int4, ElemFormat.fp4_e2m1)
+
+    ss = qt.scales.shape
+    G = ss[a]
+    cs = qt.codes.shape
+    gp = cs[a] // G                                   # packed intra length
+    codes_b = qt.codes.reshape(cs[:a] + (G, gp) + cs[a + 1:])
+    scales_b = qt.scales.reshape(ss[:a] + (G, 1) + ss[a + 1:])
+    zeros_b = (None if qt.zeros is None
+               else qt.zeros.reshape(ss[:a] + (G, 1) + ss[a + 1:]))
 
     if q.qtype == "int":
         if q.fmt == ElemFormat.int8:
-            qv = qt.codes.astype(jnp.float32)
+            qv = codes_b.astype(jnp.float32)
         else:
-            qv = _unpack_nibbles(qt.codes, intra).astype(jnp.float32) - 8.0
-        z = qt.zeros if qt.zeros is not None else 0.0
-        vals = (qv - z) * qt.scales
+            qv = _unpack_nibbles(codes_b, intra).astype(jnp.float32) - 8.0
+        z = zeros_b if zeros_b is not None else 0.0
+        vals = (qv - z) * scales_b
     else:
         if q.fmt in (ElemFormat.fp8_e4m3, ElemFormat.fp8_e5m2):
-            qv = qt.codes.astype(jnp.float32)
+            qv = codes_b.astype(jnp.float32)
         elif q.fmt == ElemFormat.fp4_e2m1:
-            qv = _decode_fp4(_unpack_nibbles(qt.codes, intra))
+            qv = _decode_fp4(_unpack_nibbles(codes_b, intra))
         else:  # mx int grid
             if q.fmt == ElemFormat.int8:
-                qv = qt.codes.astype(jnp.float32) / 2.0 ** (p.mbits - 2)
+                qv = codes_b.astype(jnp.float32) / 2.0 ** (p.mbits - 2)
             else:
-                qv = (_unpack_nibbles(qt.codes, intra).astype(jnp.float32) - 8.0) / 2.0 ** (p.mbits - 2)
-        z = qt.zeros if qt.zeros is not None else 0.0
-        vals = qv * qt.scales + z
+                qv = (_unpack_nibbles(codes_b, intra).astype(jnp.float32) - 8.0) / 2.0 ** (p.mbits - 2)
+        z = zeros_b if zeros_b is not None else 0.0
+        vals = qv * scales_b + z
 
     # Unblock: merge (n_groups, group) and strip padding back to logical
-    # shape. When packing didn't pad (the common case), shapes are derived
-    # from the *arrays*: inside a shard_map body the leaves are local shards
-    # and the static (global) metadata must not be trusted.
+    # shape (padding only exists when the logical axis wasn't a group
+    # multiple; padded tensors are never sharded, so static metadata is
+    # safe there).
     import math
 
     from .blocking import BlockMeta
 
     padded = math.prod(qt.blocked_shape) != math.prod(qt.shape)
-    if padded:
-        blocked = qt.blocked_shape
-        orig_len = qt.shape[qt.ngroups_axis]
-    else:
-        packed4 = q.fmt in (ElemFormat.int4, ElemFormat.fp4_e2m1)
-        bs = list(qt.codes.shape)
-        bs[intra] *= 2 if packed4 else 1
-        blocked = tuple(bs)
-        a = qt.ngroups_axis
-        orig_len = blocked[a] * blocked[a + 1]
+    blocked = cs[:a] + (G, gp * (2 if packed4 else 1)) + cs[a + 1:]
+    orig_len = (qt.shape[a] if padded else blocked[a] * blocked[a + 1])
     meta = BlockMeta(
-        axis=qt.ngroups_axis,
+        axis=a,
         orig_len=orig_len,
         group=blocked[intra],
         blocked_shape=blocked,
