@@ -278,9 +278,13 @@ def optimize_rotations(params, cfg: ModelConfig, calib_tokens, qcfg: QuantConfig
 def spinquant(params, cfg: ModelConfig, calib_tokens, qcfg: QuantConfig,
               mode: str = "hadamard", rotation_path: Optional[str] = None,
               mse: bool = False, n_steps: int = 100, seed: int = 0,
-              chunk: int = 8, verbose: bool = True) -> ModelConfig:
+              chunk: int = 8, verbose: bool = True,
+              scale_book: Optional[dict] = None) -> ModelConfig:
     """Rotate + GPTQ. Returns the (possibly untied) updated ModelConfig —
-    rebind it for subsequent forwards/saves."""
+    rebind it for subsequent forwards/saves. ``scale_book`` records the
+    internal GPTQ's exact (scales, zeros) so a later ``pack_model`` is
+    bitwise lossless (same invariant as every other calibrated path —
+    algorithms/pack.py)."""
     if cfg.arch not in ("llama",):
         raise NotImplementedError(
             f"SpinQuant supports llama-family only (reference core.py:63-71), got {cfg.arch}"
@@ -308,5 +312,6 @@ def spinquant(params, cfg: ModelConfig, calib_tokens, qcfg: QuantConfig,
 
     # GPTQ on the rotated model — fresh capture (embeddings changed)
     ctx = capture_layer0(params, cfg, jnp.asarray(calib_tokens), chunk=chunk)
-    gptq(params, cfg, ctx, qcfg, mse=mse, verbose=verbose)
+    gptq(params, cfg, ctx, qcfg, mse=mse, verbose=verbose,
+         scale_book=scale_book)
     return cfg

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-path", type=str, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (jax.config — the "
+                        "JAX_PLATFORMS env var is overridden by the axon "
+                        "sitecustomize on tunnel boxes)")
     return p
 
 

@@ -79,6 +79,12 @@ def _eval_stream(args, cfg):
 
 
 def run_pipeline(args, return_state: bool = False):
+    if getattr(args, "cpu", False):
+        import jax
+
+        # env-var route is overridden by the axon sitecustomize; the config
+        # update after import is the reliable way (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from .. import algorithms as alg
@@ -142,7 +148,8 @@ def run_pipeline(args, return_state: bool = False):
         elif m in ("spinquant-had", "spinquant-opt"):
             cfg = alg.spinquant(params, cfg, _calib_tokens(args, cfg, qd), qcfg,
                                 mode="hadamard" if m == "spinquant-had" else "optimize",
-                                rotation_path=args.rotation_path, mse=args.w_clip)
+                                rotation_path=args.rotation_path, mse=args.w_clip,
+                                scale_book=scale_book)
 
     test_stream = _eval_stream(args, cfg) if "ppl" in args.tasks else None
     results = evaluate(params, cfg, args.tasks, token_stream=test_stream,

@@ -41,14 +41,20 @@ from .kvcache import KVCache, append_decode, append_prefill, init_cache, read
 
 def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
                       cache: KVCache, start, ops: Optional[LayerOps],
-                      cos, sin, mask, window=None, fused_attn=True):
+                      cos, sin, mask, window=None, fused_attn=True,
+                      ablate=()):
     """Attention for a (B, T, E) slice at absolute ``positions``, writing
     K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
     ``start`` is None, using positions[:, 0]) and attending over the whole
     cache window. ``cos``/``sin``/``mask``/``window`` are computed by the
     caller — per-layer values may be traced scan data (sliding-window
     archs); ``window`` duplicates the mask's sliding constraint as a scalar
-    (<= 0 = full) for the fused decode kernel, which builds its own mask."""
+    (<= 0 = full) for the fused decode kernel, which builds its own mask.
+
+    ``ablate`` (static, benchmark-only — see bench.py's time budget) drops
+    components to attribute decode-step time: "append" skips the cache
+    write, "attn" skips the attention core (scores/softmax/PV; the output
+    projection consumes the rope'd queries instead)."""
     B, T, E = x.shape
     ap = lp["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -85,10 +91,16 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-    if start is None:  # decode: per-slot scatter at positions (B, T)
-        cache = append_decode(cache, layer_idx, k, v, positions)
-    else:
-        cache = append_prefill(cache, layer_idx, k, v, start)
+    if "append" not in ablate:
+        if start is None:  # decode: per-slot scatter at positions (B, T)
+            cache = append_decode(cache, layer_idx, k, v, positions)
+        else:
+            cache = append_prefill(cache, layer_idx, k, v, start)
+
+    if "attn" in ablate:  # benchmark ablation: skip the attention core
+        out = q.reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), cache
 
     r = H // KV
     scale = cfg.attn_scale
@@ -228,12 +240,13 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
 
 
 def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
-                  start, ops, cos, sin, mask, window=None, fused_attn=True):
+                  start, ops, cos, sin, mask, window=None, fused_attn=True,
+                  ablate=()):
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window, fused_attn)
+                                     window, fused_attn, ablate)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, cache
 
@@ -241,11 +254,11 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window, fused_attn)
+                                     window, fused_attn, ablate)
     else:
         a, cache = _cached_attention(lp, cfg, layer_idx, x, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window, fused_attn)
+                                     window, fused_attn, ablate)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -265,7 +278,8 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
 
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
-                    qcfg: Optional[QuantConfig], fused_attn: bool = True):
+                    qcfg: Optional[QuantConfig], fused_attn: bool = True,
+                    ablate=()):
     from ..models.transformer import (
         layer_scan_plan,
         layer_window,
@@ -304,7 +318,7 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             w = w_i if windows is not None else None
             mask = window_mask(positions, kv_pos, w)
             hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops,
-                                   cos, sin, mask, w, fused_attn)
+                                   cos, sin, mask, w, fused_attn, ablate)
             return (hh, cc), None
 
         (h, cache), _ = jax.lax.scan(
@@ -317,7 +331,9 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             mask = window_mask(positions, kv_pos, w)
             h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
                                      layer_ops(cfg, qcfg, i), cos, sin, mask,
-                                     w, fused_attn)
+                                     w, fused_attn, ablate)
+    if "head" in ablate:  # benchmark ablation: hidden states stand in for
+        return h, cache   # logits (argmax over E < vocab stays a valid id)
     logits = head(params, cfg, h, qcfg)
     return logits, cache
 
@@ -342,23 +358,29 @@ def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "fused_attn"),
+@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "fused_attn",
+                                   "ablate"),
          donate_argnums=(2,))
 def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
                         cfg: ModelConfig, qcfg: Optional[QuantConfig] = None,
-                        fused_attn: bool = False):
+                        fused_attn: bool = False, ablate: tuple = ()):
     """``n`` greedy decode steps inside ONE jit (lax.scan with the argmax
     token fed back) -> (tokens (B, n), cache). ``tokens[:, i]`` is the
     argmax AFTER consuming ``token`` and i generated predecessors.
 
     Per-dispatch latency over the axon tunnel measured ~5 ms; batching steps
     into one dispatch amortizes it. Use for greedy/batch generation; the
-    per-step ``decode_step`` remains for sampling / EOS-reactive loops."""
+    per-step ``decode_step`` remains for sampling / EOS-reactive loops.
+
+    ``ablate`` is benchmark-only (subset of {"head", "attn", "append"}):
+    drops components so bench.py can attribute step time; generated tokens
+    are then meaningless (but still a full non-reassociable dependency on
+    every surviving component — the argmax feeds the next step's embed)."""
 
     def body(carry, _):
         tok, cc = carry
         logits, cc = _forward_cached(params, cfg, tok, cc, None, qcfg,
-                                     fused_attn)
+                                     fused_attn, ablate)
         cc = cc.replace(lengths=cc.lengths + 1)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return (nxt, cc), nxt[:, 0]

@@ -107,6 +107,31 @@ def test_short_admitted_before_long(model):
     assert all(len(results[u]) == 2 for u in (u_long, u_short))
 
 
+def test_admission_mini_cache_right_sized(model):
+    """Pending mini caches are chunk-rounded to the prompt, not max_len
+    (VERDICT r2 item 8): peak transient K/V stays ≤ ~1.25x the prompt's own
+    K/V (+ at most one chunk of rounding slack for short prompts)."""
+    cfg, params = model
+    rng = np.random.default_rng(6)
+    C = 4
+    eng = ContinuousBatcher(params, cfg, batch_slots=2, max_len=512,
+                            quantized_kv=True, prefill_chunk=C)
+    T = 18                                              # 5 chunks of 4 -> 20
+    uid = eng.submit(rng.integers(0, cfg.vocab_size, (T,)).astype(np.int32),
+                     max_new_tokens=2)
+    eng._start_pending()
+    (pend,) = eng.pending.values()
+    mini_cols = pend.mini.k.shape[-1]
+    assert mini_cols == -(-T // C) * C                  # chunk-rounded
+    kv_bytes = lambda c: sum(a.nbytes for a in
+                             (c.k, c.v, c.k_scale, c.v_scale) if a is not None)
+    per_col = kv_bytes(pend.mini) / mini_cols
+    assert kv_bytes(pend.mini) <= 1.25 * T * per_col + C * per_col
+    assert mini_cols < eng.max_len                      # not max_len-sized
+    results = eng.run()                                 # semantics unchanged
+    assert list(results) == [uid] and len(results[uid]) == 2
+
+
 def test_warmup_then_serve(model):
     cfg, params = model
     rng = np.random.default_rng(5)

@@ -66,6 +66,20 @@ def test_gptq_pack_lossless(actorder):
     _assert_pack_lossless(params, cfg, qcfg, book)
 
 
+def test_spinquant_pack_lossless():
+    """SpinQuant-hadamard's internal GPTQ threads the scale_book too
+    (VERDICT r2 item 4): pack after rotation+GPTQ is bitwise lossless."""
+    cfg = tiny_config("llama", hidden_size=64, intermediate_size=128,
+                      num_heads=2, num_kv_heads=2, head_dim=32, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[32]-rw", None, None, None)
+    toks = jnp.asarray(synthetic_tokens(2, 16, cfg.vocab_size, 0))
+    book = {}
+    cfg = alg.spinquant(params, cfg, toks, qcfg, mode="hadamard",
+                        scale_book=book, verbose=False)
+    _assert_pack_lossless(params, cfg, qcfg, book)
+
+
 def test_pack_model_uses_book():
     """pack_model(scale_book=...) forward == fake-quant forward bitwise on
     the packed-dequant reference path."""
