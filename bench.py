@@ -3,24 +3,44 @@ shaped) model, single chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R,
-   "gbs_effective": G, "stream_gbs": S, "roofline_frac": F}
+   "gbs_effective": G, "stream_gbs": S, "roofline_frac": F, "batch": 128,
+   "decode_tps_b32": ..., "bf16_tps_b32": ..., "ttft_ms_b1": ...,
+   "ttft_ms_b8": ..., "t_step_ms": ..., "t_head_ms": ..., "t_attn_ms": ...,
+   "t_append_ms": ..., "t_matmul_glue_ms": ...}
 
-``value`` is decode tokens/sec/chip with int4-g128 packed weights executing
-through the fused Pallas dequant-matmul; ``vs_baseline`` is the speedup over
-the same model with dense bf16 weights (the reference publishes no
-throughput numbers — BASELINE.md — so bf16-on-the-same-hardware is the
-baseline). ``gbs_effective`` is bytes-touched per decode step (packed
-weights + scales + the full KV window the kernels stream) divided by
-step time; ``stream_gbs`` is an HBM stream anchor measured IN THE SAME RUN
-(chip throughput swings ~3x across minutes — only the intra-run ratio
-``roofline_frac`` is meaningful).
+``value`` is decode tokens/sec/chip at batch 128 with int4-g128 packed
+weights executing through the fused Pallas W4A8 kernels and the fresh-block
+int8-KV decode path; ``vs_baseline`` is the speedup over the same model
+with dense bf16 weights in the same run (the reference publishes no
+throughput numbers — BASELINE.md). ``gbs_effective`` is bytes-touched per
+decode step (packed weights + scales + the full KV window the attention
+streams) divided by step time; ``stream_gbs`` is an HBM stream anchor
+measured IN THE SAME RUN (chip throughput swings ~3x across minutes — only
+the intra-run ratio ``roofline_frac`` is meaningful).
+
+Fixed-batch series (b32 + b128) keeps round-over-round ratios comparable
+(VERDICT r2 item 3); ``ttft_ms_*`` is the p50 prefill latency for a
+512-token prompt (includes the ~5-25 ms tunnel dispatch RTT on this box);
+``t_*_ms`` is the per-component decode-step time budget measured by
+cumulative ablation (experiments/exp_decode_budget.py methodology).
+
+Extras (TTFT, breakdown, batch-32) are skipped if the run exceeds a soft
+time budget or LLMC_BENCH_FAST=1 — the primary metric line always prints.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+T_START = time.perf_counter()
+SOFT_BUDGET_S = float(os.environ.get("LLMC_BENCH_BUDGET_S", "2100"))
+
+
+def _elapsed():
+    return time.perf_counter() - T_START
 
 
 def _stream_gbs(iters=64, mib=512):
@@ -67,21 +87,18 @@ def _decode_bytes_per_step(params, cache):
     return wbytes + kvbytes
 
 
-def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=128,
-                  prefill_len=128):
+def _bench_decode(params, cfg, qcfg=None, steps=32, batch=128,
+                  prefill_len=128, ablate=()):
     import jax
     import jax.numpy as jnp
 
     from llm_compressor_tpu.engine import decode_greedy_steps, init_cache
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(abs(hash((batch, ablate))) % 2**31)
     # Skip the prefill compile (it isn't timed): a zero cache advanced to
     # prefill_len has identical decode cost to a real one. Greedy decoding
-    # runs as ONE jitted lax.scan over the steps — the serving fast path
-    # (per-dispatch tunnel latency is ~5 ms; see engine.decode_greedy_steps).
-    # cache length padded to 128 so the fused int8-KV decode-attention
-    # kernel engages (kernels/decode_attention.py supported())
-    max_len = -(-(prefill_len + steps + warmup + 2) // 128) * 128
+    # runs as ONE jitted lax.scan over the steps — the serving fast path.
+    max_len = -(-(prefill_len + 2 * steps + 2) // 128) * 128
     cache = init_cache(cfg.num_layers, batch, max_len,
                        cfg.num_kv_heads, cfg.head_dim, quantized=True)
     cache = cache.replace(lengths=jnp.full((batch,), prefill_len, jnp.int32))
@@ -91,16 +108,48 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, warmup=8, batch=128,
     # NOTE: block_until_ready can return at ENQUEUE on the axon tunnel —
     # a small device_get is the only reliable completion barrier (CLAUDE.md)
     toks, cache = decode_greedy_steps(params, tok, cache, n=steps,
-                                      cfg=cfg, qcfg=qcfg)
+                                      cfg=cfg, qcfg=qcfg, ablate=ablate)
     jax.device_get(toks)
 
     t0 = time.perf_counter()
     toks, cache = decode_greedy_steps(params, toks[:, -1:], cache, n=steps,
-                                      cfg=cfg, qcfg=qcfg)
+                                      cfg=cfg, qcfg=qcfg, ablate=ablate)
     jax.device_get(toks)
     dt = time.perf_counter() - t0
     gbs = _decode_bytes_per_step(params, cache) * steps / dt / 1e9
-    return batch * steps / dt, gbs
+    return batch * steps / dt, gbs, dt / steps * 1e3  # tok/s, GB/s, ms/step
+
+
+def _bench_ttft(params, cfg, qcfg, batch, prompt_len=512, reps=5):
+    """p50 prefill latency (ms) for a ``prompt_len`` prompt at ``batch``."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_compressor_tpu.engine import init_cache, prefill
+
+    rng = np.random.default_rng(7 + batch)
+    max_len = -(-(prompt_len + 2) // 128) * 128
+
+    def fresh_cache():
+        return init_cache(cfg.num_layers, batch, max_len,
+                          cfg.num_kv_heads, cfg.head_dim, quantized=True)
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                    (batch, prompt_len)).astype(np.int32))
+    logits, cache = prefill(params, toks, fresh_cache(), cfg=cfg, qcfg=qcfg)
+    jax.device_get(logits[:1, :8])                # compile (untimed)
+    times = []
+    for i in range(reps):
+        t2 = jnp.asarray(rng.integers(0, cfg.vocab_size,  # fresh values
+                                      (batch, prompt_len)).astype(np.int32))
+        c2 = fresh_cache()                        # donated per call
+        jax.device_get(c2.k[:1, :1, :1, :1, :8])  # materialized, queue drained
+        jax.device_get(t2[:1, :8])
+        t0 = time.perf_counter()
+        logits, c2 = prefill(params, t2, c2, cfg=cfg, qcfg=qcfg)
+        jax.device_get(logits[:1, :8])
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50))
 
 
 def main():
@@ -113,6 +162,7 @@ def main():
         pass
 
     on_tpu = jax.default_backend() == "tpu"
+    fast = bool(os.environ.get("LLMC_BENCH_FAST"))
 
     from llm_compressor_tpu.algorithms import pack_model, rtn
     from llm_compressor_tpu.models import fuse_model, init_params, stack_model
@@ -121,25 +171,25 @@ def main():
 
     cfg = _flagship_cfg(tiny=not on_tpu)
     # the reference's headline W4A8 config: int4-g128 weights, int8/token
-    # acts; the vocab head packs to int8-g128 (near-lossless at 8 bits,
-    # and 1.87x over a bf16 head with the K-tiled kernel — the head is the
-    # single largest weight stream at decode).
+    # acts; the vocab head packs to int8-g128 (near-lossless at 8 bits —
+    # the head is the single largest weight stream at decode).
     qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None,
                               "int8-g[128]-rw")
 
     params = init_params(cfg, jax.random.PRNGKey(0))
 
-    bf16_tps, _ = _bench_decode(stack_model(fuse_model(
-        jax.tree_util.tree_map(lambda x: x, params), cfg, None)), cfg)
+    bf16 = stack_model(fuse_model(
+        jax.tree_util.tree_map(lambda x: x, params), cfg, None))
+    bf16_tps, _, _ = _bench_decode(bf16, cfg)
 
     rtn(params, cfg, qcfg)          # weights onto the int4 grid (+ int8 head)
     pack_model(params, cfg, qcfg)   # real packed QTensors (fused W4A8 path)
     params = fuse_model(params, cfg, qcfg)  # qkv|gateup concat (one launch)
     params = stack_model(params)    # scan-over-layers: O(1) compile depth
-    int4_tps, gbs = _bench_decode(params, cfg, qcfg=qcfg)
+    int4_tps, gbs, t_step = _bench_decode(params, cfg, qcfg=qcfg)
     stream = _stream_gbs()
 
-    print(json.dumps({
+    out = {
         "metric": "llama1b_w4a8g128_decode_tokens_per_sec_per_chip",
         "value": round(int4_tps, 2),
         "unit": "tok/s",
@@ -148,7 +198,43 @@ def main():
         "stream_gbs": round(stream, 1),
         "roofline_frac": round(gbs / stream, 3),
         "batch": 128,
-    }))
+        "bf16_tps_b128": round(bf16_tps, 2),
+        "t_step_ms": round(t_step, 3),
+    }
+
+    def extras():
+        # fixed-batch series (round-over-round comparability)
+        if _elapsed() < SOFT_BUDGET_S:
+            b32, _, _ = _bench_decode(params, cfg, qcfg=qcfg, batch=32)
+            out["decode_tps_b32"] = round(b32, 2)
+        if _elapsed() < SOFT_BUDGET_S:
+            b32f, _, _ = _bench_decode(bf16, cfg, batch=32)
+            out["bf16_tps_b32"] = round(b32f, 2)
+        # p50 TTFT, 512-token prompt (BASELINE.md:73)
+        for b, key in ((1, "ttft_ms_b1"), (8, "ttft_ms_b8")):
+            if _elapsed() < SOFT_BUDGET_S:
+                out[key] = round(_bench_ttft(params, cfg, qcfg, b), 1)
+        # decode-step component budget by cumulative ablation
+        steps_ms = {}
+        for tag, ab in (("nohead", ("head",)),
+                        ("noattn", ("head", "attn")),
+                        ("noappend", ("head", "attn", "append"))):
+            if _elapsed() >= SOFT_BUDGET_S:
+                return
+            _, _, ms = _bench_decode(params, cfg, qcfg=qcfg, ablate=ab)
+            steps_ms[tag] = ms
+        out["t_head_ms"] = round(t_step - steps_ms["nohead"], 3)
+        out["t_attn_ms"] = round(steps_ms["nohead"] - steps_ms["noattn"], 3)
+        out["t_append_ms"] = round(steps_ms["noattn"] - steps_ms["noappend"], 3)
+        out["t_matmul_glue_ms"] = round(steps_ms["noappend"], 3)
+
+    if not fast:
+        try:
+            extras()
+        except Exception as e:  # extras must never kill the primary line
+            out["extras_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

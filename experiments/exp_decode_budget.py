@@ -61,14 +61,16 @@ def main():
     pack_model(params, cfg, qcfg)
     int4 = stack_model(fuse_model(params, cfg, qcfg))
 
+    # "full" engages the fresh-block path automatically (the default);
+    # ablations run on the same path, attributing its step time.
     variants = [
-        ("full", ()),
-        ("nohead", ("head",)),
-        ("nohead_noattn", ("head", "attn")),
-        ("nohead_noattn_noappend", ("head", "attn", "append")),
+        ("full", (), False),
+        ("nohead", ("head",), False),
+        ("nohead_noattn", ("head", "attn"), False),
+        ("nohead_noattn_noappend", ("head", "attn", "append"), False),
     ]
 
-    def build(tag, ablate):
+    def build(tag, ablate, fused):
         max_len = -(-(args.prefill + args.steps * (args.rounds + 1) + 2)
                     // 128) * 128
         cache = init_cache(cfg.num_layers, args.batch, max_len,
@@ -80,12 +82,14 @@ def main():
                                        (args.batch, 1)).astype(np.int32))
         t0 = time.perf_counter()
         toks, cache = decode_greedy_steps(int4, tok, cache, n=args.steps,
-                                          cfg=cfg, qcfg=qcfg, ablate=ablate)
+                                          cfg=cfg, qcfg=qcfg, ablate=ablate,
+                                          fused_attn=fused)
         jax.device_get(toks)
         print(f"compiled {tag} in {time.perf_counter()-t0:.0f}s", flush=True)
-        return dict(tag=tag, ablate=ablate, cache=cache, tok=toks[:, -1:])
+        return dict(tag=tag, ablate=ablate, fused=fused, cache=cache,
+                    tok=toks[:, -1:])
 
-    built = [build(t, a) for t, a in variants]
+    built = [build(t, a, f) for t, a, f in variants]
 
     res = {v["tag"]: [] for v in built}
     for rnd in range(args.rounds):
@@ -93,7 +97,7 @@ def main():
             t0 = time.perf_counter()
             toks, v["cache"] = decode_greedy_steps(
                 int4, v["tok"], v["cache"], n=args.steps, cfg=cfg, qcfg=qcfg,
-                ablate=v["ablate"])
+                ablate=v["ablate"], fused_attn=v["fused"])
             jax.device_get(toks)
             dt = time.perf_counter() - t0
             v["tok"] = toks[:, -1:]

@@ -36,25 +36,24 @@ from ..models.transformer import (
     rope_for_layer,
 )
 from ..qformats.config import QuantConfig
-from .kvcache import KVCache, append_decode, append_prefill, init_cache, read
+from .kvcache import (
+    FreshKV,
+    KVCache,
+    _quant_i8,
+    append_decode,
+    append_prefill,
+    init_cache,
+    init_fresh,
+    merge_fresh,
+    read,
+    write_fresh,
+)
 
 
-def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
-                      cache: KVCache, start, ops: Optional[LayerOps],
-                      cos, sin, mask, window=None, fused_attn=True,
-                      ablate=()):
-    """Attention for a (B, T, E) slice at absolute ``positions``, writing
-    K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
-    ``start`` is None, using positions[:, 0]) and attending over the whole
-    cache window. ``cos``/``sin``/``mask``/``window`` are computed by the
-    caller — per-layer values may be traced scan data (sliding-window
-    archs); ``window`` duplicates the mask's sliding constraint as a scalar
-    (<= 0 = full) for the fused decode kernel, which builds its own mask.
-
-    ``ablate`` (static, benchmark-only — see bench.py's time budget) drops
-    components to attribute decode-step time: "append" skips the cache
-    write, "attn" skips the attention core (scores/softmax/PV; the output
-    projection consumes the rope'd queries instead)."""
+def _project_qkv(lp, cfg: ModelConfig, x, ops: Optional[LayerOps], cos, sin):
+    """QKV projection + q/k norms + rope for a (B, T, E) slice ->
+    q (B, T, H, D), k/v (B, T, KV, D). Shared by the carried-cache path and
+    the fresh-block decode path."""
     B, T, E = x.shape
     ap = lp["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -90,6 +89,31 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         else:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
+                      cache: KVCache, start, ops: Optional[LayerOps],
+                      cos, sin, mask, window=None, fused_attn=True,
+                      ablate=()):
+    """Attention for a (B, T, E) slice at absolute ``positions``, writing
+    K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
+    ``start`` is None, using positions[:, 0]) and attending over the whole
+    cache window. ``cos``/``sin``/``mask``/``window`` are computed by the
+    caller — per-layer values may be traced scan data (sliding-window
+    archs); ``window`` duplicates the mask's sliding constraint as a scalar
+    (<= 0 = full) for the fused decode kernel, which builds its own mask.
+
+    ``ablate`` (static, benchmark-only — see bench.py's time budget) drops
+    components to attribute decode-step time: "append" skips the cache
+    write, "attn" skips the attention core (scores/softmax/PV; the output
+    projection consumes the rope'd queries instead)."""
+    B, T, E = x.shape
+    ap = lp["attn"]
+    H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
+
+    q, k, v = _project_qkv(lp, cfg, x, ops, cos, sin)
 
     if "append" not in ablate:
         if start is None:  # decode: per-slot scatter at positions (B, T)
@@ -277,6 +301,209 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
     return x, cache
 
 
+# ---------------------------------------------------------------------------
+# Fresh-block decode (the scan fast path's attention)
+#
+# Scattering K/V into the scan-carried cache and reading it back in the same
+# body forces XLA to copy-protect the cache buffers — measured ~7 ms of a
+# 14 ms step at batch 128, while the attention reads alone run at the DMA
+# floor (experiments/exp_decode_budget.py). Here the main cache is
+# READ-ONLY: the current token's K/V stay in registers, previous steps of
+# this call live in a small FreshKV block written at the uniform scan-step
+# lane (in-place dynamic_update_slice), and ONE merge scatter lands
+# everything after the scan. int8-codes math throughout — softmax over the
+# concatenated [main | fresh | current] scores and int32 partial-dot sums
+# make the outputs BITWISE equal to the carried-cache path.
+# ---------------------------------------------------------------------------
+
+
+NEG_INF = -1e9
+
+
+def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
+                     fresh: FreshKV, t, len0, ops: LayerOps, cos, sin,
+                     window=None, ablate=()):
+    """Decode attention for one (B, 1, E) slice against [read-only main
+    cache | fresh block | in-register current token]. Requires the int8
+    per-token act config on both attention matmuls (acts_mode is True) and
+    a quantized cache. Returns (out (B, 1, H*D) o-projected, fresh')."""
+    B, T, E = x.shape
+    ap = lp["attn"]
+    H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
+    r = H // KV
+
+    q, k, v = _project_qkv(lp, cfg, x, ops, cos, sin)
+
+    # current token in cache layout + codes (identical _quant_i8 values as
+    # an append would store — the merge is bitwise the same)
+    kc, ks = _quant_i8(k)                    # (B, KV, D, 1), (B, KV, 1, 1)
+    vc, vs = _quant_i8(v)
+    if "append" not in ablate:
+        fresh = write_fresh(fresh, layer_idx, t, kc, vc, ks, vs)
+
+    if "attn" in ablate:  # benchmark ablation: skip the attention core
+        out = q.reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), fresh
+
+    q4 = q.reshape(B, KV, r, D).astype(jnp.float32)
+    if cfg.arch == "opt":                    # pre-scaled query (opt.py:113)
+        q4 = q4 * cfg.attn_scale
+        eff = 1.0
+    else:
+        eff = cfg.attn_scale
+
+    def _row_quant(tns):
+        absmax = jnp.max(jnp.abs(tns), axis=-1, keepdims=True)
+        s = jnp.maximum(absmax / 127.0, 1e-8)
+        return jnp.clip(jnp.round(tns / s), -127, 127).astype(jnp.int8), s
+
+    qi, qs = _row_quant(q4)
+    dots = lambda a, b: jax.lax.dot_general(      # (B,KV,r,D).(B,KV,D,S)
+        a, b, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
+
+    Km, Vm = cache.k[layer_idx], cache.v[layer_idx]        # (B, KV, D, S)
+    ksm, vsm = cache.k_scale[layer_idx], cache.v_scale[layer_idx]
+    Kf, Vf = fresh.k[layer_idx], fresh.v[layer_idx]        # (B, KV, D, W)
+    ksf, vsf = fresh.k_scale[layer_idx], fresh.v_scale[layer_idx]
+    S, W = Km.shape[-1], Kf.shape[-1]
+
+    s_m = dots(qi, Km).astype(jnp.float32) * qs * ksm * eff
+    s_f = dots(qi, Kf).astype(jnp.float32) * qs * ksf * eff
+    s_c = dots(qi, kc).astype(jnp.float32) * qs * ks * eff
+    scores = jnp.concatenate([s_m, s_f, s_c], axis=-1)     # (B,KV,r,S+W+1)
+    scores = softcap(scores, cfg.attn_logit_softcapping)
+
+    # masks: main holds positions < len0; fresh lane j is step j (< t);
+    # current (position len0 + t) always attends to itself. Sliding window
+    # w > 0 keeps positions > pos - w.
+    pos = len0 + t                                          # (B,)
+    w = window if window is not None else jnp.int32(0)
+    sm_ids = jnp.arange(S)[None, :]
+    keep_m = (sm_ids < len0[:, None]) & ((w <= 0) | (sm_ids > (pos - w)[:, None]))
+    sf_ids = jnp.arange(W)[None, :]
+    keep_f = (sf_ids < t) & ((w <= 0) | ((len0[:, None] + sf_ids) > (pos - w)[:, None]))
+    keep = jnp.concatenate(
+        [keep_m, keep_f, jnp.ones((B, 1), bool)], axis=-1)  # (B, S+W+1)
+    scores = jnp.where(keep[:, None, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    vs_full = jnp.concatenate([vsm, vsf, vs], axis=-1)      # (B, KV, 1, S+W+1)
+    pv = probs * vs_full
+    pi, ps = _row_quant(pv)
+    dotv = lambda a, b: jax.lax.dot_general(      # (B,KV,r,S).(B,KV,D,S)
+        a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
+    o32 = (dotv(pi[..., :S], Vm) + dotv(pi[..., S:S + W], Vf)
+           + dotv(pi[..., S + W:], vc))                     # int32: exact sum
+    out = (o32.astype(jnp.float32) * ps).astype(x.dtype)
+    out = out.reshape(B, T, H * D)            # head order h = kv*r + j
+    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                   slot="o"), fresh
+
+
+def _fresh_layer(lp, cfg: ModelConfig, layer_idx: int, x, cache, fresh, t,
+                 len0, ops, cos, sin, window=None, ablate=()):
+    if cfg.parallel_residual:
+        normed = apply_norm(cfg, x, lp["ln1"])
+        a, fresh = _fresh_attention(lp, cfg, layer_idx, normed, cache, fresh,
+                                    t, len0, ops, cos, sin, window, ablate)
+        m = mlp(lp, cfg, normed, ops)
+        return x + a + m, fresh
+
+    if cfg.do_layer_norm_before:
+        normed = apply_norm(cfg, x, lp["ln1"])
+        a, fresh = _fresh_attention(lp, cfg, layer_idx, normed, cache, fresh,
+                                    t, len0, ops, cos, sin, window, ablate)
+    else:
+        a, fresh = _fresh_attention(lp, cfg, layer_idx, x, cache, fresh, t,
+                                    len0, ops, cos, sin, window, ablate)
+    if cfg.post_attn_residual_norm:
+        a = apply_norm(cfg, a, lp["post_attn_norm"])
+    x = x + a
+    if not cfg.do_layer_norm_before:
+        x = apply_norm(cfg, x, lp["ln1"])
+
+    if cfg.pre_post_ffw_norm:
+        m = mlp(lp, cfg, apply_norm(cfg, x, lp["pre_ffw_norm"]), ops)
+        m = apply_norm(cfg, m, lp["post_ffw_norm"])
+        x = x + m
+    else:
+        if cfg.do_layer_norm_before:
+            x = x + mlp(lp, cfg, apply_norm(cfg, x, lp["ln2"]), ops)
+        else:
+            x = apply_norm(cfg, x + mlp(lp, cfg, x, ops), lp["ln2"])
+    return x, fresh
+
+
+def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
+                          fresh: FreshKV, t, qcfg, ablate=()):
+    """One decode step over the stacked-layer scan with the read-only main
+    cache + fresh block. Returns (logits (B, V) — or hidden states when the
+    head is ablated — and the updated fresh block)."""
+    from ..models.transformer import (
+        layer_scan_plan,
+        quant_uniform,
+        rope_stack,
+    )
+
+    B, T = tokens.shape
+    len0 = cache.lengths
+    positions = (len0 + t)[:, None]                         # (B, 1)
+    h = embed(params, cfg, tokens, positions)
+
+    stacked = params["layers_stacked"]
+    ops = layer_ops(cfg, qcfg, 0)
+    rep_layers, sel, windows = layer_scan_plan(cfg)
+    cos_u, sin_u = rope_stack(cfg, rep_layers, positions)
+    win_xs = windows if windows is not None else jnp.zeros(
+        (cfg.num_layers,), jnp.int32)
+
+    def step(carry, xs):
+        hh, fr = carry
+        lp, li, s_i, w_i = xs
+        cos = cos_u[s_i] if cos_u is not None else None
+        sin = sin_u[s_i] if sin_u is not None else None
+        w = w_i if windows is not None else None
+        hh, fr = _fresh_layer(lp, cfg, li, hh, cache, fr, t, len0, ops,
+                              cos, sin, w, ablate)
+        return (hh, fr), None
+
+    (h, fresh), _ = jax.lax.scan(
+        step, (h, fresh),
+        (stacked, jnp.arange(cfg.num_layers), sel, win_xs))
+    if "head" in ablate:
+        return h[:, -1, :], fresh
+    logits = head(params, cfg, h, qcfg)
+    return logits[:, -1, :], fresh
+
+
+def fresh_path_ok(params, cfg: ModelConfig, cache: KVCache,
+                  qcfg: Optional[QuantConfig]) -> bool:
+    """Static eligibility of the fresh-block decode fast path: stacked
+    uniform layers, int8 cache, int8 per-token act config on both attention
+    matmuls (the W4A8 headline), no ALiBi (BLOOM scores need the bias over
+    absolute positions — stays on the carried-cache path).
+    LLMC_NO_FRESH=1 forces the carried-cache path (A/B benchmarking)."""
+    import os
+
+    from ..kernels.decode_attention import acts_mode
+    from ..models.transformer import quant_uniform
+
+    if os.environ.get("LLMC_NO_FRESH"):
+        return False
+    if params.get("layers_stacked") is None or not quant_uniform(cfg, qcfg):
+        return False
+    if not cache.quantized or cfg.pos_embedding == "alibi":
+        return False
+    ops = layer_ops(cfg, qcfg, 0)
+    qk_op = ops.qk if ops is not None else None
+    sv_op = ops.sv if ops is not None else None
+    return acts_mode(qk_op, sv_op) is True
+
+
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                     qcfg: Optional[QuantConfig], fused_attn: bool = True,
                     ablate=()):
@@ -375,7 +602,34 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
     ``ablate`` is benchmark-only (subset of {"head", "attn", "append"}):
     drops components so bench.py can attribute step time; generated tokens
     are then meaningless (but still a full non-reassociable dependency on
-    every surviving component — the argmax feeds the next step's embed)."""
+    every surviving component — the argmax feeds the next step's embed).
+
+    On the W4A8 headline config (stacked uniform layers, int8 cache, int8
+    per-token attention acts) the steps run on the FRESH-BLOCK path: the
+    main cache is read-only inside the scan (new tokens accumulate in a
+    small FreshKV block, merged once at the end) — bitwise the same tokens
+    and final cache, ~2.8x faster at batch 128 (the per-step scatter into
+    the carried cache made XLA copy-protect the buffers; see
+    experiments/exp_decode_budget.py)."""
+    if not fused_attn and fresh_path_ok(params, cfg, cache, qcfg):
+        len0 = cache.lengths
+        fresh = init_fresh(cfg.num_layers, cache.batch, n, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+
+        def body_fresh(carry, t):
+            tok, fr = carry
+            logits, fr = _forward_decode_fresh(params, cfg, tok, cache, fr,
+                                               t, qcfg, ablate)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, fr), nxt[:, 0]
+
+        (tok, fresh), toks = jax.lax.scan(body_fresh, (token, fresh),
+                                          jnp.arange(n))
+        if "append" not in ablate:
+            cache = merge_fresh(cache, fresh, len0, n)
+        else:
+            cache = cache.replace(lengths=len0 + n)
+        return jnp.swapaxes(toks, 0, 1), cache
 
     def body(carry, _):
         tok, cc = carry

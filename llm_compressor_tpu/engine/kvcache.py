@@ -133,6 +133,87 @@ def append_decode(cache: KVCache, layer: int, k, v, positions) -> KVCache:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fresh-block decode (scan fast path)
+#
+# Scattering each decode step's K/V into the big carried cache and then
+# reading that cache in the same scan body forces XLA to copy-protect the
+# buffers: the round-3 time budget measured the write+read interaction at
+# ~7 ms of a 14 ms step at batch 128 while the attention reads alone run at
+# the DMA floor (experiments/exp_decode_budget.py, BENCH history). The scan
+# fast path therefore keeps the big cache READ-ONLY and accumulates the new
+# tokens in this small per-call "fresh" block, written at the (uniform)
+# scan-step lane index — an in-place dynamic_update_slice, no scatter — and
+# merged into the main cache ONCE after the scan (amortized over n steps).
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class FreshKV:
+    """Per-decode-call K/V accumulator: (L, B, KV, D, W) with the scan step
+    on the lane dim; int8 codes + per-(token, head) scales when quantized
+    (identical `_quant_i8` values as the main cache, so the post-scan merge
+    is bitwise the same as per-step appends)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
+
+    @property
+    def window(self) -> int:
+        return self.k.shape[4]
+
+
+def init_fresh(n_layers: int, batch: int, window: int, n_kv: int,
+               head_dim: int, quantized: bool, dtype=jnp.bfloat16) -> FreshKV:
+    shape = (n_layers, batch, n_kv, head_dim, window)
+    sshape = (n_layers, batch, n_kv, 1, window)
+    if quantized:
+        return FreshKV(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32))
+    return FreshKV(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   k_scale=None, v_scale=None)
+
+
+def write_fresh(fresh: FreshKV, layer, t, kc, vc, ks=None, vs=None) -> FreshKV:
+    """Write one step's already-laid-out K/V — codes-or-values (B, KV, D, 1)
+    (+ scales (B, KV, 1, 1)) — at (layer, lane t): a uniform
+    dynamic_update_slice, in-place under the scan (no scatter)."""
+    idx = (layer, 0, 0, 0, t)
+    new = fresh.replace(
+        k=jax.lax.dynamic_update_slice(fresh.k, kc[None].astype(fresh.k.dtype), idx),
+        v=jax.lax.dynamic_update_slice(fresh.v, vc[None].astype(fresh.v.dtype), idx),
+    )
+    if fresh.k_scale is not None:
+        new = new.replace(
+            k_scale=jax.lax.dynamic_update_slice(fresh.k_scale, ks[None], idx),
+            v_scale=jax.lax.dynamic_update_slice(fresh.v_scale, vs[None], idx),
+        )
+    return new
+
+
+def merge_fresh(cache: KVCache, fresh: FreshKV, lengths0, n: int) -> KVCache:
+    """Scatter the first ``n`` fresh lanes into the main cache at per-slot
+    positions lengths0 + [0, n) and advance lengths — ONE scatter per
+    decode_greedy_steps call instead of one per step."""
+    B = cache.batch
+    b_idx = jnp.arange(B)[:, None]                     # (B, 1)
+    pos = lengths0[:, None] + jnp.arange(n)[None, :]   # (B, n)
+
+    def put(buf, src):  # src (L, B, KV, Dorl, W) -> update (B, n, L, KV, D)
+        upd = jnp.transpose(src[..., :n], (1, 4, 0, 2, 3))
+        return buf.at[:, b_idx, :, :, pos].set(upd.astype(buf.dtype))
+
+    cache = cache.replace(k=put(cache.k, fresh.k), v=put(cache.v, fresh.v),
+                          lengths=lengths0 + n)
+    if cache.quantized:
+        cache = cache.replace(k_scale=put(cache.k_scale, fresh.k_scale),
+                              v_scale=put(cache.v_scale, fresh.v_scale))
+    return cache
+
+
 def write_slot(cache: KVCache, slot, k_slot, v_slot, n_layers: int) -> KVCache:
     """Splice one slot's K/V from a single-slot cache's arrays (L, KV, D, T)
     — already in cache layout, codes-or-values matching the target dtype

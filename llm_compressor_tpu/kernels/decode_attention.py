@@ -1,12 +1,13 @@
-"""Fused int8-KV decode attention — Pallas kernel.
+"""Fused int8-KV decode attention — Pallas kernel, batch-blocked grid.
 
-The XLA serving path dequantizes the ENTIRE int8 KV window to bf16 and
-materializes it in HBM every decode step (engine/kvcache.py read()), then
-runs 5-D einsums with f32 score intermediates: for one layer that is
-int8-read + bf16-write + bf16-read ≈ 5x the codes' bytes. This kernel reads
-the int8 K/V codes and their per-(token, head) scales directly from HBM,
-applies scales in-register, and never materializes the dequantized window
-— the HBM traffic per layer collapses to the packed bytes themselves.
+The XLA serving path runs the QK^T / P.V contractions as int8-codes
+dot_generals straight off the cache (engine/generate.py), which is already
+integer-MXU math — but XLA schedules it as 5-D batched matmuls with f32
+score intermediates and layout shuffles around every dot; the round-2 time
+budget measured it at 8.5 ms of a 14 ms decode step at batch 128, ~5x the
+KV window's own DMA floor (experiments/exp_decode_budget.py). This kernel
+streams each (slot, kv-head) window's codes + scales from HBM exactly once
+and does QK -> mask -> softmax -> PV entirely in VMEM.
 
 The reference cannot have this op (it re-encodes a window per token with no
 KV cache, models/base.py:285-287); it is the quantized-KV serving engine
@@ -14,18 +15,18 @@ demanded by the north star (SURVEY.md §7 kernels list).
 
 Layout (set by engine/kvcache.py): codes (L, B, KV, D, S) int8 with the
 sequence on the LANE dim and head_dim on sublanes — a (D, S) tile is
-MXU/VPU-native and the per-(b, head) slice is contiguous in HBM. Scales are
-(L, B, KV, 1, S) f32 — (1, S) tiles. The layer index, per-slot lengths, and sliding window
-ride as scalar prefetch: the kernel DMAs straight out of the full cache
-buffer (no per-layer gather copy), and one compiled kernel serves every
-layer of a lax.scan'd decode step.
+MXU/VPU-native and the per-(b, head) window is contiguous in HBM. Scales
+are (L, B, KV, 1, S) f32 — (1, S) tiles. The layer index, per-slot lengths,
+and sliding window ride as scalar prefetch: the kernel DMAs straight out of
+the full cache buffer (no per-layer gather copy), and one compiled kernel
+serves every layer of a lax.scan'd decode step.
 
-Grid: (B, KV) — one program per (slot, kv-head) streams that head's K and V
-(S*D int8 each) once:
-
-    scores[r, s] = (q[r, :] . K[:, s]) * k_scale[s] * attn_scale
-    probs        = softmax(scores + causal/window mask)
-    out[r, :]    = (probs * v_scale)[r, s] . V[:, s]
+Grid: (B/TB,) — ROUND 2's (B, KV) grid (1024 programs at batch 128) paid
+~0.9 ms/layer in launch + per-program overheads, ~10x the DMA time, and
+lost its A/B to the XLA path (VERDICT r2 weak #2). One program now streams
+a (TB, KV, D, S) block — the natural cache layout slice, one dense DMA —
+and runs each slot's KV heads as KV-batched MXU dots in VMEM; TB adapts to
+the VMEM budget. At batch 128 / S 384 this is 16 programs instead of 1024.
 
 Two modes (static):
   * quant_acts=False — K/V codes are converted to f32 in-register; exact
@@ -60,58 +61,78 @@ def _row_quant_i8(x):
     return q, scale
 
 
-def _kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-            o_ref, *, scale: float, softcap, quant_acts: bool):
-    b = pl.program_id(0)
-    q = q_ref[0, 0].astype(jnp.float32)          # (r, D)
-    k = k_ref[0, 0, 0]                           # (D, S) int8
-    v = v_ref[0, 0, 0]                           # (D, S) int8
-    ks = ks_ref[0, 0, 0, 0][None, :]             # (1, S) f32
-    vs = vs_ref[0, 0, 0, 0][None, :]             # (1, S) f32
-    S = k.shape[-1]
+def _slot_attention(q, k, v, ks, vs, length, w, *, scale, softcap,
+                    quant_acts: bool):
+    """One slot — ALL its KV heads as batched MXU dots (a per-(slot, head)
+    loop of (r, D) x (D, S) dots measured 3x slower: tiny-operand VPU/MXU
+    overheads dominate; bench_attention_variants.py 'pallas_b').
 
+    q (KV, r, D) f32; k/v (KV, D, S) int8; ks/vs (KV, 1, S) f32.
+    Returns (KV, r, D) f32."""
     if quant_acts:
         qi, qs = _row_quant_i8(q)
-        s32 = jax.lax.dot_general(                # (r, S) int32, int8 MXU
-            qi, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        s32 = jax.lax.dot_general(              # (KV, r, S) int32, int8 MXU
+            qi, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         scores = s32.astype(jnp.float32) * qs * ks
     else:
         scores = jax.lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * ks
     scores = scores * scale
 
     if softcap is not None:
         scores = softcap * jnp.tanh(scores / softcap)
 
-    # causal + sliding window: attend to s <= length[b] (the current token
-    # was appended AT index length), window w > 0 limits to s > length - w
-    length = lens_ref[b]
-    w = win_ref[0]
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # causal + sliding window: attend to s <= length (the current token was
+    # appended AT index length); window w > 0 limits to s > length - w
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     keep = s_ids <= length
     keep &= (w <= 0) | (s_ids > length - w)
     scores = jnp.where(keep, scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)   # (r, S) f32
+    p = e / jnp.sum(e, axis=-1, keepdims=True)    # (KV, r, S) f32
 
     pv = p * vs                                   # fold v scales into probs
     if quant_acts:
         pi, ps = _row_quant_i8(pv)
-        o32 = jax.lax.dot_general(                # (r, D) int32, int8 MXU
-            pi, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        o32 = jax.lax.dot_general(              # (KV, r, D) int32, int8 MXU
+            pi, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
-        out = o32.astype(jnp.float32) * ps
-    else:
-        out = jax.lax.dot_general(
-            pv, v.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+        return o32.astype(jnp.float32) * ps
+    return jax.lax.dot_general(
+        pv, v.astype(jnp.float32),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _kernel(layer_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+            o_ref, *, tb: int, scale: float, softcap, quant_acts: bool):
+    i = pl.program_id(0)
+    w = win_ref[0]
+    for t in range(tb):
+        out = _slot_attention(
+            q_ref[t].astype(jnp.float32),             # (KV, r, D)
+            k_ref[0, t],                              # (KV, D, S) int8
+            v_ref[0, t],
+            ks_ref[0, t],                             # (KV, 1, S) f32
+            vs_ref[0, t],
+            lens_ref[i * tb + t], w, scale=scale, softcap=softcap,
+            quant_acts=quant_acts)
+        o_ref[t] = out.astype(o_ref.dtype)
+
+
+def _pick_tb(B: int, KV: int, D: int, S: int, budget=4 * 1024 * 1024) -> int:
+    """Largest divisor of B whose (TB, KV, D, S) K+V+scales block fits the
+    VMEM budget (double buffering doubles it on top)."""
+    per_slot = KV * (2 * D * S + 8 * S)
+    for tb in (8, 4, 2, 1):
+        if B % tb == 0 and tb * per_slot <= budget:
+            return tb
+    return 1
 
 
 @partial(jax.jit, static_argnames=("scale", "softcap", "quant_acts",
@@ -120,34 +141,36 @@ def _call(layer, lengths, window, q, kc, vc, ks, vs, *, scale, softcap,
           quant_acts, out_dtype):
     B, KV, r, D = q.shape
     L, _, _, _, S = kc.shape
+    tb = _pick_tb(B, KV, D, S)
     interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # layer, lengths, window
-        grid=(B, KV),
+        grid=(B // tb,),
         in_specs=[
-            pl.BlockSpec((1, 1, r, D), lambda b, h, l, le, w: (b, h, 0, 0),
+            pl.BlockSpec((tb, KV, r, D), lambda i, l, le, w: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, D, S),
-                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+            pl.BlockSpec((1, tb, KV, D, S),
+                         lambda i, l, le, w: (l[0], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, D, S),
-                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+            pl.BlockSpec((1, tb, KV, D, S),
+                         lambda i, l, le, w: (l[0], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, S),
-                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+            pl.BlockSpec((1, tb, KV, 1, S),
+                         lambda i, l, le, w: (l[0], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, S),
-                         lambda b, h, l, le, w: (l[0], b, h, 0, 0),
+            pl.BlockSpec((1, tb, KV, 1, S),
+                         lambda i, l, le, w: (l[0], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, r, D), lambda b, h, l, le, w: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((tb, KV, r, D), lambda i, l, le, w: (i, 0, 0, 0)),
     )
     return pl.pallas_call(
-        partial(_kernel, scale=scale, softcap=softcap, quant_acts=quant_acts),
+        partial(_kernel, tb=tb, scale=scale, softcap=softcap,
+                quant_acts=quant_acts),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, r, D), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * KV * r * S * D,
