@@ -15,6 +15,11 @@ def build_chat_parser():
     parser.add_argument("--max-new-tokens", type=int, default=100)
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top-k", type=int, default=None)
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding "
+                             "(greedy-exact; used when temperature is 0)")
+    parser.add_argument("--k-draft", type=int, default=4,
+                        help="draft tokens per speculative verify step")
     return parser
 
 
@@ -58,7 +63,9 @@ def main():
         reply = generate_text(params, cfg, tokenizer, prompt,
                               max_new_tokens=args.max_new_tokens,
                               temperature=args.temperature, top_k=args.top_k,
-                              qcfg=qcfg, quantized_kv=args.kv_quant)
+                              qcfg=qcfg, quantized_kv=args.kv_quant,
+                              speculative=args.speculative,
+                              k_draft=args.k_draft)
         print(f"bot> {reply}")
 
 

@@ -445,8 +445,8 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
     head is ablated — and the updated fresh block)."""
     from ..models.transformer import (
         layer_scan_plan,
-        quant_uniform,
         rope_stack,
+        scan_segments,
     )
 
     B, T = tokens.shape
@@ -455,25 +455,26 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
     h = embed(params, cfg, tokens, positions)
 
     stacked = params["layers_stacked"]
-    ops = layer_ops(cfg, qcfg, 0)
     rep_layers, sel, windows = layer_scan_plan(cfg)
     cos_u, sin_u = rope_stack(cfg, rep_layers, positions)
     win_xs = windows if windows is not None else jnp.zeros(
         (cfg.num_layers,), jnp.int32)
 
-    def step(carry, xs):
-        hh, fr = carry
-        lp, li, s_i, w_i = xs
-        cos = cos_u[s_i] if cos_u is not None else None
-        sin = sin_u[s_i] if sin_u is not None else None
-        w = w_i if windows is not None else None
-        hh, fr = _fresh_layer(lp, cfg, li, hh, cache, fr, t, len0, ops,
-                              cos, sin, w, ablate)
-        return (hh, fr), None
+    for s0, s1, ops in scan_segments(cfg, qcfg):
+        def step(carry, xs, ops=ops):
+            hh, fr = carry
+            lp, li, s_i, w_i = xs
+            cos = cos_u[s_i] if cos_u is not None else None
+            sin = sin_u[s_i] if sin_u is not None else None
+            w = w_i if windows is not None else None
+            hh, fr = _fresh_layer(lp, cfg, li, hh, cache, fr, t, len0, ops,
+                                  cos, sin, w, ablate)
+            return (hh, fr), None
 
-    (h, fresh), _ = jax.lax.scan(
-        step, (h, fresh),
-        (stacked, jnp.arange(cfg.num_layers), sel, win_xs))
+        seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
+        (h, fresh), _ = jax.lax.scan(
+            step, (h, fresh),
+            (seg, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
     if "head" in ablate:
         return h[:, -1, :], fresh
     logits = head(params, cfg, h, qcfg)
@@ -483,25 +484,26 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
 def fresh_path_ok(params, cfg: ModelConfig, cache: KVCache,
                   qcfg: Optional[QuantConfig]) -> bool:
     """Static eligibility of the fresh-block decode fast path: stacked
-    uniform layers, int8 cache, int8 per-token act config on both attention
-    matmuls (the W4A8 headline), no ALiBi (BLOOM scores need the bias over
-    absolute positions — stays on the carried-cache path).
-    LLMC_NO_FRESH=1 forces the carried-cache path (A/B benchmarking)."""
+    layers, int8 cache, int8 per-token act config on both attention
+    matmuls (the W4A8 headline) in EVERY LayerOps run (MPQ overrides may
+    split the stack into several scans — scan_segments — but each must
+    still satisfy the int8-codes attention contract), no ALiBi (BLOOM
+    scores need the bias over absolute positions — stays on the
+    carried-cache path). LLMC_NO_FRESH=1 forces the carried-cache path
+    (A/B benchmarking)."""
     import os
 
     from ..kernels.decode_attention import acts_mode
-    from ..models.transformer import quant_uniform
+    from ..models.transformer import scan_segments
 
     if os.environ.get("LLMC_NO_FRESH"):
         return False
-    if params.get("layers_stacked") is None or not quant_uniform(cfg, qcfg):
+    if params.get("layers_stacked") is None:
         return False
     if not cache.quantized or cfg.pos_embedding == "alibi":
         return False
-    ops = layer_ops(cfg, qcfg, 0)
-    qk_op = ops.qk if ops is not None else None
-    sv_op = ops.sv if ops is not None else None
-    return acts_mode(qk_op, sv_op) is True
+    return all(ops is not None and acts_mode(ops.qk, ops.sv) is True
+               for _, _, ops in scan_segments(cfg, qcfg))
 
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
@@ -510,8 +512,8 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     from ..models.transformer import (
         layer_scan_plan,
         layer_window,
-        quant_uniform,
         rope_stack,
+        scan_segments,
         window_mask,
     )
 
@@ -526,31 +528,35 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     kv_pos = jnp.arange(cache.max_len)[None, :]
 
     stacked = params.get("layers_stacked")
-    if stacked is not None and quant_uniform(cfg, qcfg):
-        # ONE lax.scan over the stacked layers: compile time O(1) in depth.
-        # Sliding-window / local-theta archs (gemma2/3, qwen3-sw) scan too:
-        # the per-layer rope variant and window scalar ride as scan data,
-        # and the cache write uses the scanned layer index.
-        ops = layer_ops(cfg, qcfg, 0)
+    if stacked is not None:
+        # ONE lax.scan per LayerOps run over the stacked layers: compile
+        # time O(#runs) in depth (one run unless MPQ overrides split the
+        # stack — scan_segments). Sliding-window / local-theta archs
+        # (gemma2/3, qwen3-sw) scan too: the per-layer rope variant and
+        # window scalar ride as scan data, and the cache write uses the
+        # scanned layer index.
         rep_layers, sel, windows = layer_scan_plan(cfg)
         cos_u, sin_u = rope_stack(cfg, rep_layers, positions)
         win_xs = windows if windows is not None else jnp.zeros(
             (cfg.num_layers,), jnp.int32)
 
-        def step(carry, xs):
-            hh, cc = carry
-            lp, li, s_i, w_i = xs
-            cos = cos_u[s_i] if cos_u is not None else None
-            sin = sin_u[s_i] if sin_u is not None else None
-            w = w_i if windows is not None else None
-            mask = window_mask(positions, kv_pos, w)
-            hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start, ops,
-                                   cos, sin, mask, w, fused_attn, ablate)
-            return (hh, cc), None
+        for s0, s1, ops in scan_segments(cfg, qcfg):
+            def step(carry, xs, ops=ops):
+                hh, cc = carry
+                lp, li, s_i, w_i = xs
+                cos = cos_u[s_i] if cos_u is not None else None
+                sin = sin_u[s_i] if sin_u is not None else None
+                w = w_i if windows is not None else None
+                mask = window_mask(positions, kv_pos, w)
+                hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start,
+                                       ops, cos, sin, mask, w, fused_attn,
+                                       ablate)
+                return (hh, cc), None
 
-        (h, cache), _ = jax.lax.scan(
-            step, (h, cache),
-            (stacked, jnp.arange(cfg.num_layers), sel, win_xs))
+            seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
+            (h, cache), _ = jax.lax.scan(
+                step, (h, cache),
+                (seg, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
     else:
         for i, lp in enumerate(params["layers"]):
             cos, sin = rope_for_layer(cfg, i, positions)
@@ -689,13 +695,27 @@ Write a response that appropriately completes the request.
 def generate_text(params, cfg: ModelConfig, tokenizer, prompt: str,
                   max_new_tokens: int = 100, temperature: float = 0.0,
                   top_k: Optional[int] = None, qcfg: Optional[QuantConfig] = None,
-                  quantized_kv: bool = False, use_chat_template: bool = True) -> str:
-    """Chat-templated text generation (reference tinychat path)."""
+                  quantized_kv: bool = False, use_chat_template: bool = True,
+                  speculative: bool = False, k_draft: int = 4) -> str:
+    """Chat-templated text generation (reference tinychat path).
+
+    ``speculative`` routes greedy decoding through prompt-lookup
+    speculative decoding (engine/speculative.py — greedy-exact, so it is
+    only taken at temperature 0)."""
     text = CHAT_TEMPLATE.format(message=prompt) if use_chat_template else prompt
     ids = np.asarray([tokenizer.encode(text)], dtype=np.int32)
-    out = generate(params, cfg, ids, max_new_tokens=max_new_tokens,
-                   temperature=temperature, top_k=top_k,
-                   eos_id=tokenizer.eos_token_id, qcfg=qcfg,
-                   quantized_kv=quantized_kv)
+    if speculative and temperature == 0.0:
+        from .speculative import generate_speculative
+
+        hist, _ = generate_speculative(
+            params, cfg, ids, max_new_tokens=max_new_tokens,
+            k_draft=k_draft, eos_id=tokenizer.eos_token_id, qcfg=qcfg,
+            quantized_kv=quantized_kv)
+        out = np.asarray([hist[0]], dtype=np.int32)
+    else:
+        out = generate(params, cfg, ids, max_new_tokens=max_new_tokens,
+                       temperature=temperature, top_k=top_k,
+                       eos_id=tokenizer.eos_token_id, qcfg=qcfg,
+                       quantized_kv=quantized_kv)
     full = tokenizer.decode(out[0].tolist(), skip_special_tokens=True)
     return full[len(text):].replace("### Response:", "").strip()

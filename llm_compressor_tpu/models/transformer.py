@@ -429,6 +429,28 @@ def quant_uniform(cfg: ModelConfig, qcfg: Optional[QuantConfig]) -> bool:
     return True
 
 
+def scan_segments(cfg: ModelConfig, qcfg: Optional[QuantConfig]):
+    """Maximal contiguous runs of layers with EQUAL LayerOps resolution.
+
+    Returns ``[(start, stop, ops), ...]`` covering ``range(num_layers)``.
+    LayerOps is a static jit argument, so it cannot ride a lax.scan as
+    data — but mixed-precision overrides (the MPQ registry) almost always
+    name contiguous blocks (first layer, last layer, a range). Serving
+    scans each run separately: compile count = number of runs, not O(L)
+    traced layers (a 2-class MPQ stack decodes via <= #runs scans)."""
+    if qcfg is None or not qcfg.overrides:
+        return [(0, cfg.num_layers, layer_ops(cfg, qcfg, 0))]
+    segs = []
+    start, cur = 0, layer_ops(cfg, qcfg, 0)
+    for i in range(1, cfg.num_layers):
+        o = layer_ops(cfg, qcfg, i)
+        if o != cur:
+            segs.append((start, i, cur))
+            start, cur = i, o
+    segs.append((start, cfg.num_layers, cur))
+    return segs
+
+
 def layer_scan_plan(cfg: ModelConfig):
     """Per-layer scan data for non-uniform stacks (gemma2/3, qwen3-sw):
 
@@ -627,24 +649,27 @@ def forward_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     h = embed(params, cfg, tokens, positions)
 
     stacked = params.get("layers_stacked")
-    if stacked is not None and quant_uniform(cfg, qcfg):
-        # ONE lax.scan even for sliding-window / local-theta stacks: the
-        # per-layer rope variant and window size ride the scan as data.
-        ops = layer_ops(cfg, qcfg, 0)
+    if stacked is not None:
+        # ONE lax.scan per LayerOps run (one total unless MPQ overrides
+        # split the stack — see scan_segments); sliding-window / local-theta
+        # stacks scan too: the per-layer rope variant and window size ride
+        # the scan as data.
         rep_layers, sel, windows = layer_scan_plan(cfg)
         cos_u, sin_u = rope_stack(cfg, rep_layers, positions)
         win_xs = windows if windows is not None else jnp.zeros(
             (cfg.num_layers,), jnp.int32)
 
-        def step(carry, xs):
-            lp, s_i, w_i = xs
-            cos = cos_u[s_i] if cos_u is not None else None
-            sin = sin_u[s_i] if sin_u is not None else None
-            w = w_i if windows is not None else None
-            mask = window_mask(positions, positions, w)[:, None]
-            return decoder_layer(lp, cfg, carry, cos, sin, mask, ops), None
+        for s0, s1, ops in scan_segments(cfg, qcfg):
+            def step(carry, xs, ops=ops):
+                lp, s_i, w_i = xs
+                cos = cos_u[s_i] if cos_u is not None else None
+                sin = sin_u[s_i] if sin_u is not None else None
+                w = w_i if windows is not None else None
+                mask = window_mask(positions, positions, w)[:, None]
+                return decoder_layer(lp, cfg, carry, cos, sin, mask, ops), None
 
-        h, _ = jax.lax.scan(step, h, (stacked, sel, win_xs))
+            seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
+            h, _ = jax.lax.scan(step, h, (seg, sel[s0:s1], win_xs[s0:s1]))
         return h
 
     for i, lp in enumerate(params["layers"]):

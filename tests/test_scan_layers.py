@@ -87,6 +87,72 @@ def test_stacked_quantized_forward_matches():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_scan_segments_plan():
+    """MPQ overrides split the stack into maximal equal-LayerOps runs."""
+    from llm_compressor_tpu.models.transformer import scan_segments
+    from llm_compressor_tpu.qformats.config import register_4_to_8bit
+
+    cfg = tiny_config("llama", num_layers=4)
+    qcfg = build_quant_config("int4-g[-1]-rw", "int8-g[-1]-rw", None, None)
+    segs = scan_segments(cfg, qcfg)
+    assert len(segs) == 1 and segs[0][:2] == (0, 4)
+
+    q2 = register_4_to_8bit(
+        qcfg, [f"layers.{i}.self_attn.q_proj.weight" for i in (0, 1)])
+    segs = scan_segments(cfg, q2)
+    assert [(s0, s1) for s0, s1, _ in segs] == [(0, 2), (2, 4)]
+    assert segs[0][2] != segs[1][2]
+
+
+def test_mpq_two_class_decode_two_scans(monkeypatch):
+    """A 2-class MPQ stack decodes via 2 lax.scans (one traced layer body
+    per LayerOps run, not O(L)) and matches the unstacked per-layer path
+    (VERDICT r2 item 9)."""
+    import importlib
+
+    gen = importlib.import_module("llm_compressor_tpu.engine.generate")
+    from llm_compressor_tpu.qformats.config import register_4_to_8bit
+
+    cfg = tiny_config("llama", num_layers=4, dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    qcfg = build_quant_config("int4-g[-1]-rw", "int8-g[-1]-rw", None, None)
+    qcfg = register_4_to_8bit(
+        qcfg, [f"layers.{i}.self_attn.q_proj.weight" for i in (0, 1)])
+
+    toks = np.random.default_rng(3).integers(
+        0, cfg.vocab_size, (1, 8)).astype(np.int32)
+
+    def run(p):
+        cache = init_cache(cfg.num_layers, 1, 8, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+        logits, cache = prefill(p, jnp.asarray(toks[:, :6]), cache,
+                                cfg=cfg, qcfg=qcfg)
+        out = [np.asarray(logits)]
+        for t in range(6, 8):
+            logits, cache = decode_step(p, jnp.asarray(toks[:, t:t + 1]),
+                                        cache, cfg=cfg, qcfg=qcfg)
+            out.append(np.asarray(logits))
+        return np.stack(out)
+
+    ref = run(params)
+    sp = stack_model(params)
+    out = run(sp)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    # compile-count: the decode trace visits the layer body once per RUN
+    calls = []
+    orig = gen._cached_layer
+    monkeypatch.setattr(
+        gen, "_cached_layer",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    cache = init_cache(cfg.num_layers, 1, 8, cfg.num_kv_heads,
+                       cfg.head_dim, dtype=jnp.float32)
+    jax.make_jaxpr(
+        lambda p, tk, cc: gen._forward_cached(p, cfg, tk, cc, None, qcfg)
+    )(sp, jnp.asarray(toks[:, :1]), cache)
+    assert len(calls) == 2
+
+
 def test_stacked_decode_matches():
     cfg = tiny_config("llama", num_layers=3, dtype="float32")
     params = init_params(cfg, jax.random.PRNGKey(2))

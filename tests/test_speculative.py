@@ -56,16 +56,25 @@ def test_verify_step_matches_sequential_decode(quantized_kv):
         cache = init_cache(cfg.num_layers, 2, 32, cfg.num_kv_heads,
                            cfg.head_dim, quantized=quantized_kv)
         _, cache = prefill(params, jnp.asarray(toks), cache, cfg=cfg)
-        greedy, cache = decode_verify_step(params, jnp.asarray(steps), cache,
-                                           cfg=cfg)
-        return np.asarray(greedy), cache
+        greedy, accepted, cache = decode_verify_step(
+            params, jnp.asarray(steps), cache, jnp.ones((2,), bool), cfg=cfg)
+        return np.asarray(greedy), np.asarray(accepted), cache
 
     ref, cache_a = seq()
-    got, cache_b = batched()
+    got, accepted, cache_b = batched()
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_allclose(np.asarray(cache_b.k)[:, :, :, :, :9],
                                np.asarray(cache_a.k)[:, :, :, :, :9],
                                atol=1e-5)
+    # in-graph accept == host-computed longest matching draft prefix, and
+    # lengths advanced by accepted+1 on-device (VERDICT r2 item 6)
+    for b in range(2):
+        a = 0
+        while a < 2 and steps[b, a + 1] == got[b, a]:
+            a += 1
+        assert accepted[b] == a
+    np.testing.assert_array_equal(np.asarray(cache_b.lengths),
+                                  6 + accepted + 1)
 
 
 @pytest.mark.parametrize("qspec", [None, ("int4-g[16]-rw", "int8-g[-1]-rw",
