@@ -445,8 +445,10 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
     head is ablated — and the updated fresh block)."""
     from ..models.transformer import (
         layer_scan_plan,
+        reinsert_packed,
         rope_stack,
         scan_segments,
+        split_packed_stacked,
     )
 
     B, T = tokens.shape
@@ -461,9 +463,13 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
         (cfg.num_layers,), jnp.int32)
 
     for s0, s1, ops in scan_segments(cfg, qcfg):
-        def step(carry, xs, ops=ops):
+        seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
+        rest, packed = split_packed_stacked(seg)
+
+        def step(carry, xs, ops=ops, packed=packed, s0=s0):
             hh, fr = carry
             lp, li, s_i, w_i = xs
+            lp = reinsert_packed(lp, packed, li - s0)
             cos = cos_u[s_i] if cos_u is not None else None
             sin = sin_u[s_i] if sin_u is not None else None
             w = w_i if windows is not None else None
@@ -471,10 +477,9 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
                                   cos, sin, w, ablate)
             return (hh, fr), None
 
-        seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
         (h, fresh), _ = jax.lax.scan(
             step, (h, fresh),
-            (seg, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
+            (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
     if "head" in ablate:
         return h[:, -1, :], fresh
     logits = head(params, cfg, h, qcfg)
@@ -512,8 +517,10 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
     from ..models.transformer import (
         layer_scan_plan,
         layer_window,
+        reinsert_packed,
         rope_stack,
         scan_segments,
+        split_packed_stacked,
         window_mask,
     )
 
@@ -541,9 +548,13 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             (cfg.num_layers,), jnp.int32)
 
         for s0, s1, ops in scan_segments(cfg, qcfg):
-            def step(carry, xs, ops=ops):
+            seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
+            rest, packed = split_packed_stacked(seg)
+
+            def step(carry, xs, ops=ops, packed=packed, s0=s0):
                 hh, cc = carry
                 lp, li, s_i, w_i = xs
+                lp = reinsert_packed(lp, packed, li - s0)
                 cos = cos_u[s_i] if cos_u is not None else None
                 sin = sin_u[s_i] if sin_u is not None else None
                 w = w_i if windows is not None else None
@@ -553,10 +564,9 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                                        ablate)
                 return (hh, cc), None
 
-            seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
             (h, cache), _ = jax.lax.scan(
                 step, (h, cache),
-                (seg, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
+                (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
     else:
         for i, lp in enumerate(params["layers"]):
             cos, sin = rope_for_layer(cfg, i, positions)

@@ -204,6 +204,71 @@ def _call(x_i8, wp, scales_t, sx, *, group, int4, tm, tn, tk,
     )(x_i8, wp, scales_t, sx)
 
 
+def _w4a8_kernel_stacked(li_ref, x_ref, wp_ref, st_ref, sx_ref, out_ref, acc,
+                         *, group: int, tk: int, nk: int, int4: bool):
+    """Stacked-weight variant: wp/st carry a leading (1,) layer block and
+    the layer index arrives as scalar prefetch — the weight DMA reads
+    straight out of the full (L, N, K) buffer at the right offset."""
+    k = pl.program_id(2)
+    gpk = tk // group
+    half = group // 2
+    _w4a8_body(x_ref[...], wp_ref[0], st_ref[0], sx_ref[...], out_ref,
+               acc, k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
+
+
+@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
+                                   "out_dtype"))
+def _call_stacked(x_i8, wp, scales_t, sx, layer, *, group, int4, tm, tn, tk,
+                  out_dtype=jnp.bfloat16):
+    """Layer-indexed matmul over STACKED packed weights (L, N, K[/2]).
+
+    Inside a lax.scan, feeding per-layer weights as scan xs materializes a
+    dynamic-slice copy of every layer's codes before the kernel can read
+    them (custom-call operands must be dense buffers) — measured
+    +0.73 ms/step at the flagship's batch-128 decode shapes
+    (experiments/exp_scan_weight_copy.py). Here the full stacked buffer is
+    a loop-invariant operand and the LAYER INDEX rides as scalar prefetch
+    into the BlockSpec index maps, so each program's weight DMA reads the
+    layer's tile directly from HBM. Same math as :func:`_call`."""
+    M, C = x_i8.shape
+    N = wp.shape[1]
+    nk = C // tk
+    gpk = tk // group
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # layer index
+        grid=(_cdiv(M, tm), _cdiv(N, tn), nk),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k, li: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, tk // 2 if int4 else tk),
+                         lambda i, j, k, li: (li[0], j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpk, tn), lambda i, j, k, li: (li[0], k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j, k, li: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, li: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_w4a8_kernel_stacked, group=group, tk=tk, nk=nk, int4=int4),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * C,
+            bytes_accessed=wp.size // wp.shape[0] + scales_t.size // wp.shape[0] * 4
+            + M * C + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(), x_i8, wp, scales_t, sx)
+
+
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
                                    "out_dtype"))
 def _call_actq(x2, wp, scales_t, *, group, int4, tm, tn, tk,
@@ -266,8 +331,9 @@ def _dims(qt: QTensor):
     """(N, C, g) from the *array* shapes — inside a shard_map body the
     leaves are local shards, so static QTensor metadata (global logical
     shape) must not be trusted for kernel dispatch. Storage is flat:
-    codes (N, C[/2]), scales (N, G)."""
-    N, cp = qt.codes.shape
+    codes (N, C[/2]) — or ([L,] N, C[/2]) for the stacked serving form —
+    scales ([L,] N, G)."""
+    N, cp = qt.codes.shape[-2:]
     G = qt.scales.shape[-1]
     gp = cp // G
     g = 2 * gp if qt.quantizer.fmt == ElemFormat.int4 else gp
@@ -276,7 +342,8 @@ def _dims(qt: QTensor):
 
 def supported(qt: QTensor) -> bool:
     q = qt.quantizer
-    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim != 2 or q.zero_point:
+    if q.eff_axes != -1 or len(qt.shape) != 2 or qt.codes.ndim not in (2, 3) \
+            or q.zero_point:
         return False
     if not (q.qtype == "int" and q.fmt in (ElemFormat.int4, ElemFormat.int8)):
         return False
@@ -297,9 +364,15 @@ def _pick_tk(C: int, g: int) -> int:
 
 
 def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
-                absmax_axis=None, act_inside: bool = False) -> jnp.ndarray:
+                absmax_axis=None, act_inside: bool = False,
+                layer=None) -> jnp.ndarray:
     """y = act_q(x) @ W^T fully integer on the MXU. Callers should have
-    act_in == int8 per-token (this kernel IS that quantizer + matmul)."""
+    act_in == int8 per-token (this kernel IS that quantizer + matmul).
+
+    ``layer`` (traced int32 scalar) selects one layer of a STACKED QTensor
+    (codes (L, N, K[/2]), scales_t (L, G, N) — the lax.scan serving form):
+    the kernel DMAs that layer's tiles straight from the stacked buffer,
+    avoiding the per-step dynamic-slice copy a scan-xs weight pays."""
     N, C, g = _dims(qt)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, C)
@@ -319,7 +392,17 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
     # (TN=256 there costs 3x, measured).
     tn = 1024 if N >= 1024 else next(t for t in (512, 256, 128) if N % t == 0)
     tk = _pick_tk(C, g)
-    if absmax_axis is None and act_inside:
+    if layer is not None:
+        x_i8, sx = quantize_acts_per_token(x2, absmax_axis)
+        if M % tm:
+            pad = (-M) % tm
+            x_i8 = jnp.pad(x_i8, ((0, pad), (0, 0)))
+            sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
+        out = _call_stacked(x_i8, wp, scales_t, sx.astype(jnp.float32),
+                            jnp.asarray(layer, jnp.int32), group=g,
+                            int4=int4, tm=tm, tn=tn, tk=tk,
+                            out_dtype=jnp.dtype(x.dtype))
+    elif absmax_axis is None and act_inside:
         # act quant INSIDE the kernel (A/B experiment path; measured ~equal
         # to the XLA prologue once the scale transpose moved out of the
         # per-call graph — exp_kernel_dissect3.py showed the XLA act quant

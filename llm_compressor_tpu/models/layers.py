@@ -195,19 +195,60 @@ def _quant_global_per_token(q: Quantizer, x, axis_name: str):
     return (jnp.clip(jnp.round(x32 / scale), -qmax, qmax) * scale).astype(x.dtype)
 
 
+class LayerSlice:
+    """One layer's view into a STACKED packed weight (the lax.scan serving
+    form): ``qt`` holds stacked leaves (codes (L, N, K[/2]), scales_t
+    (L, G, N)) and ``layer`` is the traced scan index. qlinear passes both
+    straight to the fused kernel, whose scalar-prefetch index maps DMA the
+    layer's tiles directly out of the stacked HBM buffer — feeding sliced
+    weights through scan xs instead materializes a dynamic-slice copy of
+    ~all packed bytes every decode step (+0.73 ms/step at flagship batch
+    128, experiments/exp_scan_weight_copy.py)."""
+
+    __slots__ = ("qt", "layer")
+
+    def __init__(self, qt: QTensor, layer):
+        self.qt = qt
+        self.layer = layer
+
+    def materialize(self) -> QTensor:
+        """Per-layer QTensor via dynamic-index (the copying fallback, for
+        paths without a stacked kernel)."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, self.layer, 0,
+                                                   keepdims=False), self.qt)
+
+
 def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None,
             slot: Optional[str] = None):
     """y = act_out_q( act_in_q(x) @ W^T + b ).
 
     ``weight`` is (out, in) — a jnp array (bf16 or pre-fake-quantized by
-    calibration) or a packed QTensor (dequantized here on the XLA path; the
+    calibration), a packed QTensor (dequantized here on the XLA path; the
     Pallas fused kernel path lives in kernels/dequant_matmul.py and is
-    selected by the engine). ``slot`` names the projection for TP-aware
-    execution (row-parallel slots psum partial sums inside a shard_map).
+    selected by the engine), or a :class:`LayerSlice` of a stacked QTensor
+    (scan serving form — zero-copy layer-indexed kernel). ``slot`` names
+    the projection for TP-aware execution (row-parallel slots psum partial
+    sums inside a shard_map).
     """
     tp_axis = _TP["axis"]
     row_par = tp_axis is not None and slot in _TP_ROW_SLOTS
     mm_bias = None if row_par else bias
+
+    layer = None
+    if isinstance(weight, LayerSlice):
+        from ..kernels.w4a8_matmul import supported as _w4a8_sup
+
+        ai = op.act_in if op is not None else None
+        kernel_ok = (ai is not None and ai.qtype == "int"
+                     and ai.fmt == ElemFormat.int8 and ai.group_size == -1
+                     and not ai.zero_point
+                     and math.prod(x.shape[:-1]) <= 256
+                     and _w4a8_sup(weight.qt))
+        if kernel_ok:
+            weight, layer = weight.qt, weight.layer
+        else:
+            weight = weight.materialize()
 
     if isinstance(weight, QTensor):
         # Packed execution. With int8 per-token act_in, the fused W4A8
@@ -224,7 +265,11 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None,
         # at prefill M the dequant-to-bf16 kernel's fixed per-byte cost
         # amortizes and the MXU dominates (bench_w4a8_ingraph.py).
         m_rows = math.prod(x.shape[:-1])
-        if (ai is not None and ai.qtype == "int" and ai.fmt == ElemFormat.int8
+        if layer is not None:
+            y = w4a8_matmul(x, weight, mm_bias,
+                            absmax_axis=tp_axis if row_par else None,
+                            layer=layer)
+        elif (ai is not None and ai.qtype == "int" and ai.fmt == ElemFormat.int8
                 and ai.group_size == -1 and not ai.zero_point
                 and m_rows <= 256 and w4a8_supported(weight)):
             y = w4a8_matmul(x, weight, mm_bias,

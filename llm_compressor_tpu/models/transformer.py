@@ -620,6 +620,49 @@ def fuse_model(params: Params, cfg: ModelConfig,
     return params
 
 
+def split_packed_stacked(tree):
+    """Partition a stacked layer tree into (xs_tree, packed): every stacked
+    packed QTensor is REMOVED from the xs tree (replaced by None — an empty
+    pytree node) and returned in ``packed`` keyed by its key path.
+
+    Packed weights must not ride lax.scan xs: the per-iteration
+    dynamic-slice materializes a copy of ~all packed bytes before the
+    kernel custom call can read them (+0.73 ms/step at flagship batch-128
+    decode, experiments/exp_scan_weight_copy.py). They are captured as
+    loop-invariant operands instead, and the layer body re-attaches them as
+    :class:`~..models.layers.LayerSlice` views (zero-copy scalar-prefetch
+    kernel indexing)."""
+    from ..qformats.qtensor import QTensor
+
+    packed = {}
+
+    def walk(node, path):
+        if isinstance(node, QTensor):
+            packed[path] = node
+            return None
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return walk(tree, ()), packed
+
+
+def reinsert_packed(rest, packed, layer):
+    """Rebuild a per-layer tree: each packed entry re-attaches at its path
+    as a LayerSlice(stacked_qt, layer) view."""
+    from .layers import LayerSlice
+
+    def setpath(d, path, val):
+        node = d
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = val
+
+    for path, qt in packed.items():
+        setpath(rest, path, LayerSlice(qt, layer))
+    return rest
+
+
 def stack_layers(params: Params):
     """Stack the per-layer pytrees along a leading L axis (for scan)."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layers"])
@@ -660,16 +703,21 @@ def forward_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             (cfg.num_layers,), jnp.int32)
 
         for s0, s1, ops in scan_segments(cfg, qcfg):
-            def step(carry, xs, ops=ops):
-                lp, s_i, w_i = xs
+            seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
+            rest, packed = split_packed_stacked(seg)
+
+            def step(carry, xs, ops=ops, packed=packed):
+                lp, li, s_i, w_i = xs
+                lp = reinsert_packed(lp, packed, li)
                 cos = cos_u[s_i] if cos_u is not None else None
                 sin = sin_u[s_i] if sin_u is not None else None
                 w = w_i if windows is not None else None
                 mask = window_mask(positions, positions, w)[:, None]
                 return decoder_layer(lp, cfg, carry, cos, sin, mask, ops), None
 
-            seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
-            h, _ = jax.lax.scan(step, h, (seg, sel[s0:s1], win_xs[s0:s1]))
+            h, _ = jax.lax.scan(
+                step, h,
+                (rest, jnp.arange(s1 - s0), sel[s0:s1], win_xs[s0:s1]))
         return h
 
     for i, lp in enumerate(params["layers"]):

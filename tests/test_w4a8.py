@@ -106,3 +106,24 @@ def test_gptq_scale_book_packing_exact(rng):
     qt = quantize_pack(q, Q, scales=s, zeros=z)
     np.testing.assert_allclose(np.asarray(dequantize(qt)), np.asarray(Q),
                                rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", [ElemFormat.int4, ElemFormat.int8])
+def test_stacked_layer_kernel_bitwise(rng, fmt):
+    """The stacked scalar-prefetch kernel (layer=i over (L, N, K[/2])
+    codes) is BITWISE identical to the per-layer kernel — it is the same
+    math reading the same bytes at a layer offset."""
+    import jax
+    import jax.numpy as jnp
+
+    L, N, C, M = 3, 256, 512, 8
+    q = Quantizer(qtype="int", fmt=fmt, group_size=128)
+    qts = [quantize_pack(q, jnp.asarray(
+        rng.normal(0, 0.1, size=(N, C)).astype(np.float32))) for _ in range(L)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    assert supported(stacked) and stacked.codes.ndim == 3
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    for i in range(L):
+        ref = np.asarray(w4a8_matmul(x, qts[i]))
+        out = np.asarray(w4a8_matmul(x, stacked, layer=jnp.int32(i)))
+        np.testing.assert_array_equal(out, ref)
