@@ -110,6 +110,13 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, batch=128,
     toks, cache = decode_greedy_steps(params, tok, cache, n=steps,
                                       cfg=cfg, qcfg=qcfg, ablate=ablate)
     jax.device_get(toks)
+    # second untimed run: the FIRST post-compile execution of some packed
+    # executables measured 3.3x steady state (experiments/
+    # exp_b32_order.py int4_b32 15.8 -> 4.75 ms/step on re-run) — time
+    # steady-state serving, not first-run warmup effects.
+    toks, cache = decode_greedy_steps(params, toks[:, -1:], cache, n=steps,
+                                      cfg=cfg, qcfg=qcfg, ablate=ablate)
+    jax.device_get(toks)
 
     t0 = time.perf_counter()
     toks, cache = decode_greedy_steps(params, toks[:, -1:], cache, n=steps,

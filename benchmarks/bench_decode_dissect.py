@@ -2,10 +2,12 @@
 
 One run, intra-run comparable numbers (chip tenancy swings ~3x across
 minutes — CLAUDE.md):
-  * int4 decode with the fused Pallas int8-KV attention
-  * int4 decode with the XLA dequant-window attention (LLMC_NO_FUSED_ATTN)
-  * bf16 decode (both attention modes)
+  * int4 decode (fresh-block scan path, int8-codes XLA attention)
+  * bf16 decode (carried-cache path)
   * HBM stream anchor
+(The Pallas decode-attention kernel was removed from the serving path after
+losing its A/B twice — benchmarks/bench_attention_variants.py has the
+isolated attention comparison incl. the archived kernel.)
 
 Usage: python benchmarks/bench_decode_dissect.py [--steps 32] [--batch 32]
 """
@@ -61,7 +63,7 @@ def main():
 
     from llm_compressor_tpu.engine import decode_greedy_steps, init_cache
 
-    def build(tag, p, q, fused):
+    def build(tag, p, q):
         max_len = -(-(args.prefill + args.steps + 2) // 128) * 128
         cache = init_cache(cfg.num_layers, args.batch, max_len,
                            cfg.num_kv_heads, cfg.head_dim, quantized=True)
@@ -71,17 +73,14 @@ def main():
         tok = jnp.asarray(rng.integers(0, cfg.vocab_size,
                                        (args.batch, 1)).astype(np.int32))
         toks, cache = decode_greedy_steps(p, tok, cache, n=args.steps,
-                                          cfg=cfg, qcfg=q, fused_attn=fused)
+                                          cfg=cfg, qcfg=q)
         jax.device_get(toks)
         print(f"compiled {tag}", flush=True)
-        return dict(tag=tag, p=p, q=q, fused=fused, cache=cache,
-                    tok=toks[:, -1:])
+        return dict(tag=tag, p=p, q=q, cache=cache, tok=toks[:, -1:])
 
     variants = [
-        build("int4_fused", int4, qcfg, True),
-        build("bf16_fused", bf16, None, True),
-        build("int4_xla", int4, qcfg, False),
-        build("bf16_xla", bf16, None, False),
+        build("int4", int4, qcfg),
+        build("bf16", bf16, None),
     ]
 
     res = {v["tag"]: [] for v in variants}
@@ -90,7 +89,7 @@ def main():
             t0 = time.perf_counter()
             toks, v["cache"] = decode_greedy_steps(
                 v["p"], v["tok"], v["cache"], n=args.steps, cfg=cfg,
-                qcfg=v["q"], fused_attn=v["fused"])
+                qcfg=v["q"])
             jax.device_get(toks)   # real completion barrier (CLAUDE.md)
             dt = time.perf_counter() - t0
             v["tok"] = toks[:, -1:]

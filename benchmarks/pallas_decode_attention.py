@@ -212,30 +212,3 @@ def supported(cfg, cache, T: int) -> bool:
         return False
     D, S = cfg.head_dim, cache.max_len
     return S % 128 == 0 and D % 8 == 0 and cfg.num_heads % cfg.num_kv_heads == 0
-
-
-def acts_mode(qk_op, sv_op):
-    """Map the attention-matmul quantizer configs onto the kernel's modes.
-
-    Returns False (exact float mode) when both matmuls are unquantized,
-    True (in-kernel int8 per-row act quant — the serving form of the
-    reference's per-token QK/SV act quantizers) when BOTH act_in slots are
-    symmetric int8 per-token with no act_out quantizer, and None when the
-    config is anything else (XLA fallback handles it)."""
-    def kind(op):
-        if op is None or op.act_in.qtype == "dummy":
-            return "none"
-        a = op.act_in
-        from ..qformats.formats import ElemFormat
-        if (a.qtype == "int" and a.fmt == ElemFormat.int8
-                and a.group_size == -1 and not a.zero_point and not a.mse
-                and op.act_out.qtype == "dummy"):
-            return "i8"
-        return "other"
-
-    k1, k2 = kind(qk_op), kind(sv_op)
-    if k1 == "none" and k2 == "none":
-        return False
-    if k1 == "i8" and k2 == "i8":
-        return True
-    return None

@@ -50,6 +50,36 @@ from .kvcache import (
 )
 
 
+def acts_mode(qk_op, sv_op):
+    """Map the attention-matmul quantizer configs onto the serving
+    decode-attention modes.
+
+    Returns False (exact float math on the dequantized window) when both
+    matmuls are unquantized, True (int8-codes attention — per-row int8
+    re-quantization of q and of the v-scaled prob rows, the serving form of
+    the reference's per-token QK/SV act quantizers, modules/qmatmul.py:33-51)
+    when BOTH act_in slots are symmetric int8 per-token with no act_out
+    quantizer, and None for anything else (the general XLA fallback
+    quantizes acts as configured)."""
+    def kind(op):
+        if op is None or op.act_in.qtype == "dummy":
+            return "none"
+        a = op.act_in
+        from ..qformats.formats import ElemFormat
+        if (a.qtype == "int" and a.fmt == ElemFormat.int8
+                and a.group_size == -1 and not a.zero_point and not a.mse
+                and op.act_out.qtype == "dummy"):
+            return "i8"
+        return "other"
+
+    k1, k2 = kind(qk_op), kind(sv_op)
+    if k1 == "none" and k2 == "none":
+        return False
+    if k1 == "i8" and k2 == "i8":
+        return True
+    return None
+
+
 def _project_qkv(lp, cfg: ModelConfig, x, ops: Optional[LayerOps], cos, sin):
     """QKV projection + q/k norms + rope for a (B, T, E) slice ->
     q (B, T, H, D), k/v (B, T, KV, D). Shared by the carried-cache path and
@@ -94,8 +124,7 @@ def _project_qkv(lp, cfg: ModelConfig, x, ops: Optional[LayerOps], cos, sin):
 
 def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
                       cache: KVCache, start, ops: Optional[LayerOps],
-                      cos, sin, mask, window=None, fused_attn=True,
-                      ablate=()):
+                      cos, sin, mask, window=None, ablate=()):
     """Attention for a (B, T, E) slice at absolute ``positions``, writing
     K/V into the cache (scalar ``start`` for prefill; per-slot scatter when
     ``start`` is None, using positions[:, 0]) and attending over the whole
@@ -131,44 +160,20 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
     qk_op = ops.qk if ops is not None else None
     sv_op = ops.sv if ops is not None else None
 
-    # Fused int8-KV decode attention (OPT-IN, fused_attn=True): the Pallas
-    # kernel reads codes + scales straight from the cache buffer. Measured
-    # on-chip it loses to the XLA codes path below (launch + per-program
-    # overheads ~0.9 ms/layer at decode shapes dwarf the DMA time —
-    # benchmarks/bench_attention_variants.py), so the default decode path
-    # is the XLA int8-codes attention.
-    from ..kernels import decode_attention as da
-
-    quant_acts = da.acts_mode(qk_op, sv_op)
-    if fused_attn and da.supported(cfg, cache, T) and quant_acts is not None:
-        q4 = q.reshape(B, KV, r, D)  # T == 1; head h = kv*r + j
-        if cfg.arch == "opt":  # pre-scaled query (reference opt.py:113)
-            q4 = q4 * jnp.asarray(scale, q4.dtype)
-            kscale = 1.0
-        else:
-            kscale = scale
-        out = da.decode_attention(
-            q4, cache.k, cache.v, cache.k_scale, cache.v_scale,
-            layer_idx, positions[:, 0],
-            window if window is not None else 0,
-            scale=kscale, softcap=cfg.attn_logit_softcapping,
-            quant_acts=quant_acts, out_dtype=x.dtype)
-        # (B, KV, r, D) -> (B, 1, H*D) with head order h = kv*r + j
-        out = out.reshape(B, T, H * D)
-        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
-                       slot="o"), cache
-
     # int8-codes decode attention in plain XLA: when both attention matmuls
     # are int8-per-token-quantized (the W4A8 headline config) and the cache
     # is int8, run the QK^T and P.V dots DIRECTLY on the stored codes as
     # native int8 x int8 MXU dot_generals. No dequantized window is ever
-    # materialized and no Pallas launch is paid (measured: the (B, KV)-grid
-    # Pallas kernel costs ~0.9 ms/layer in launch+program overheads at
-    # decode shapes, ~10x the actual DMA time — benchmarks/
-    # bench_attention_variants.py). Math identical to the fused kernel's
-    # quant_acts mode: per-row absmax int8 quant of q and of probs*v_scale,
-    # int32 accumulation, scales applied in f32 epilogues.
-    if (cache.quantized and T == 1 and quant_acts is True
+    # materialized. A Pallas fused-attention kernel lost its A/B to this
+    # path TWICE — round 2's (B, KV) grid paid ~0.9 ms/layer in per-program
+    # overheads, and the re-gridded (B/TB,) batch-blocked version still
+    # measured ~5% slower at flagship decode shapes (xla_codes 57.7 ms vs
+    # pallas 60.6 ms, benchmarks/bench_attention_variants.py, B=128 S=256
+    # L=16) — so the kernel was removed from the serving path per VERDICT
+    # r2 item 2 (it survives as benchmarks/pallas_decode_attention.py for
+    # re-evaluation). Math: per-row absmax int8 quant of q and of
+    # probs*v_scale, int32 accumulation, scales applied in f32 epilogues.
+    if (cache.quantized and T == 1 and acts_mode(qk_op, sv_op) is True
             and cfg.pos_embedding != "alibi"):
         Kc, Vc = cache.k[layer_idx], cache.v[layer_idx]   # (B, KV, D, S) i8
         ksc = cache.k_scale[layer_idx]                    # (B, KV, 1, S)
@@ -264,13 +269,12 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
 
 
 def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
-                  start, ops, cos, sin, mask, window=None, fused_attn=True,
-                  ablate=()):
+                  start, ops, cos, sin, mask, window=None, ablate=()):
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window, fused_attn, ablate)
+                                     window, ablate)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, cache
 
@@ -278,11 +282,11 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
         normed = apply_norm(cfg, x, lp["ln1"])
         a, cache = _cached_attention(lp, cfg, layer_idx, normed, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window, fused_attn, ablate)
+                                     window, ablate)
     else:
         a, cache = _cached_attention(lp, cfg, layer_idx, x, positions,
                                      cache, start, ops, cos, sin, mask,
-                                     window, fused_attn, ablate)
+                                     window, ablate)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -498,7 +502,6 @@ def fresh_path_ok(params, cfg: ModelConfig, cache: KVCache,
     (A/B benchmarking)."""
     import os
 
-    from ..kernels.decode_attention import acts_mode
     from ..models.transformer import scan_segments
 
     if os.environ.get("LLMC_NO_FRESH"):
@@ -512,8 +515,7 @@ def fresh_path_ok(params, cfg: ModelConfig, cache: KVCache,
 
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
-                    qcfg: Optional[QuantConfig], fused_attn: bool = True,
-                    ablate=()):
+                    qcfg: Optional[QuantConfig], ablate=()):
     from ..models.transformer import (
         layer_scan_plan,
         layer_window,
@@ -560,8 +562,7 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                 w = w_i if windows is not None else None
                 mask = window_mask(positions, kv_pos, w)
                 hh, cc = _cached_layer(lp, cfg, li, hh, positions, cc, start,
-                                       ops, cos, sin, mask, w, fused_attn,
-                                       ablate)
+                                       ops, cos, sin, mask, w, ablate)
                 return (hh, cc), None
 
             (h, cache), _ = jax.lax.scan(
@@ -574,7 +575,7 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
             mask = window_mask(positions, kv_pos, w)
             h, cache = _cached_layer(lp, cfg, i, h, positions, cache, start,
                                      layer_ops(cfg, qcfg, i), cos, sin, mask,
-                                     w, fused_attn, ablate)
+                                     w, ablate)
     if "head" in ablate:  # benchmark ablation: hidden states stand in for
         return h, cache   # logits (argmax over E < vocab stays a valid id)
     logits = head(params, cfg, h, qcfg)
@@ -590,23 +591,20 @@ def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "qcfg", "fused_attn"),
-         donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("cfg", "qcfg"), donate_argnums=(2,))
 def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
-                qcfg: Optional[QuantConfig] = None, fused_attn: bool = False):
+                qcfg: Optional[QuantConfig] = None):
     """One token (B, 1) -> (logits (B, V), cache)."""
-    logits, cache = _forward_cached(params, cfg, token, cache, None, qcfg,
-                                    fused_attn)
+    logits, cache = _forward_cached(params, cfg, token, cache, None, qcfg)
     cache = cache.replace(lengths=cache.lengths + 1)
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "fused_attn",
-                                   "ablate"),
+@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "ablate"),
          donate_argnums=(2,))
 def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
                         cfg: ModelConfig, qcfg: Optional[QuantConfig] = None,
-                        fused_attn: bool = False, ablate: tuple = ()):
+                        ablate: tuple = ()):
     """``n`` greedy decode steps inside ONE jit (lax.scan with the argmax
     token fed back) -> (tokens (B, n), cache). ``tokens[:, i]`` is the
     argmax AFTER consuming ``token`` and i generated predecessors.
@@ -627,7 +625,7 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
     and final cache, ~2.8x faster at batch 128 (the per-step scatter into
     the carried cache made XLA copy-protect the buffers; see
     experiments/exp_decode_budget.py)."""
-    if not fused_attn and fresh_path_ok(params, cfg, cache, qcfg):
+    if fresh_path_ok(params, cfg, cache, qcfg):
         len0 = cache.lengths
         fresh = init_fresh(cfg.num_layers, cache.batch, n, cfg.num_kv_heads,
                            cfg.head_dim, quantized=True)
@@ -650,7 +648,7 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
     def body(carry, _):
         tok, cc = carry
         logits, cc = _forward_cached(params, cfg, tok, cc, None, qcfg,
-                                     fused_attn, ablate)
+                                     ablate)
         cc = cc.replace(lengths=cc.lengths + 1)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return (nxt, cc), nxt[:, 0]

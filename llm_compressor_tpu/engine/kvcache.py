@@ -4,11 +4,10 @@ Layout: (L, B, KV, D, S) with the SEQUENCE ON THE LANE DIM and head_dim on
 sublanes. This is the attention-native layout on TPU:
 
 * QK^T is q (r, D) . K (D, S) and probs.V is p (r, S) . V(D, S)^T — both
-  direct MXU contractions with zero transposes, for XLA and for the fused
-  Pallas decode-attention kernel (kernels/decode_attention.py), whose
-  (D, S) int8 tiles are exactly Mosaic's native tiling.
-* the per-(slot, head) window is contiguous in HBM, so the kernel streams
-  each head's codes with one dense DMA.
+  direct MXU contractions with zero transposes (the serving int8-codes
+  attention in engine/generate.py runs them straight off this layout).
+* the per-(slot, head) window is contiguous in HBM — one dense DMA
+  streams each head's codes.
 
 Writes: prefill is one dynamic_update_slice per layer (new tokens land on a
 lane-dim slice); decode is a per-slot scatter at each slot's own position.
