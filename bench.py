@@ -179,9 +179,11 @@ def main():
     cfg = _flagship_cfg(tiny=not on_tpu)
     # the reference's headline W4A8 config: int4-g128 weights, int8/token
     # acts; the vocab head packs to int8-g128 (near-lossless at 8 bits —
-    # the head is the single largest weight stream at decode).
+    # the head is the single largest weight stream at decode) with int8
+    # input acts so it rides the integer kernel (1.7x over the dequant
+    # kernel on the 128k-row head — experiments/exp_head_budget.py).
     qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None,
-                              "int8-g[128]-rw")
+                              "int8-g[128]-rw", head_act="int8-g[-1]-rw")
 
     params = init_params(cfg, jax.random.PRNGKey(0))
 

@@ -35,7 +35,8 @@ def prepare(args):
         _, state = run_pipeline(args, return_state=True)
         return state["cfg"], state["params"], state["qcfg"]
     cfg, params, _ = _load_model(args)
-    qcfg = build_quant_config(args.weight, args.act_in, args.act_out, args.head)
+    qcfg = build_quant_config(args.weight, args.act_in, args.act_out, args.head,
+                              head_act=getattr(args, "head_act", None))
     return cfg, params, qcfg
 
 

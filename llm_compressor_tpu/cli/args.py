@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--act-in", type=str, default=None)
     p.add_argument("--act-out", type=str, default=None)
     p.add_argument("--head", type=str, default=None)
+    p.add_argument("--head-act", type=str, default=None,
+                   help="input-act quantizer for the lm_head (TPU serving "
+                        "extension: int8-g[-1]-rw routes the packed head "
+                        "through the integer W4A8 kernel)")
     p.add_argument("--rotation-path", type=str, default=None,
                    help="SpinQuant learned rotations (R.npz)")
     p.add_argument("--w-clip", action="store_true",

@@ -99,7 +99,8 @@ def run_pipeline(args, return_state: bool = False):
 
     cfg, params, hf_cfg = _load_model(args)
     qcfg = build_quant_config(args.weight, args.act_in, args.act_out, args.head,
-                              w_mse=args.w_clip)
+                              w_mse=args.w_clip,
+                              head_act=getattr(args, "head_act", None))
 
     def ctx(dataset: str):
         toks = _calib_tokens(args, cfg, dataset)

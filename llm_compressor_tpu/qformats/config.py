@@ -104,19 +104,26 @@ def build_quant_config(
     act_out: Optional[str] = None,
     head: Optional[str] = None,
     w_mse: bool = False,
+    head_act: Optional[str] = None,
 ) -> QuantConfig:
     """Build the three-slot config from CLI-style DSL strings.
 
     ``w_mse`` enables the MSE clip grid search on weight quantizers only
-    (the reference's ``--w-clip``).
-    """
+    (the reference's ``--w-clip``). ``head_act`` (beyond the reference,
+    whose head quant is weight-only) adds an input-activation quantizer on
+    the lm_head: with int8 per-token acts the packed head executes through
+    the integer W4A8 kernel instead of the dequantize-to-bf16 kernel —
+    measured 1.7x faster on the flagship's 128k-row int8 head
+    (experiments/exp_head_budget.py) — and the fake-quant eval path applies
+    the same quantizer, so evaluation measures exactly what serving runs."""
     w = parse_qspec(weight, mse=w_mse)
     ai = parse_qspec(act_in)
     ao = parse_qspec(act_out)
     return QuantConfig(
         linear=OpQuantConfig(weight=w, act_in=ai, act_out=ao),
         matmul=OpQuantConfig(weight=Quantizer(qtype="dummy"), act_in=ai, act_out=ao),
-        head=OpQuantConfig(weight=parse_qspec(head, mse=w_mse)),
+        head=OpQuantConfig(weight=parse_qspec(head, mse=w_mse),
+                           act_in=parse_qspec(head_act)),
     )
 
 

@@ -127,3 +127,31 @@ def test_stacked_layer_kernel_bitwise(rng, fmt):
         ref = np.asarray(w4a8_matmul(x, qts[i]))
         out = np.asarray(w4a8_matmul(x, stacked, layer=jnp.int32(i)))
         np.testing.assert_array_equal(out, ref)
+
+
+def test_head_act_routes_integer_kernel(rng):
+    """head_act=int8-per-token routes the packed lm_head through the W4A8
+    kernel; serving output matches the fake-quant simulation of the same
+    config (quantized head input + quantized head weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_compressor_tpu import algorithms as alg
+    from llm_compressor_tpu.models import forward, init_params, tiny_config
+    from llm_compressor_tpu.qformats import build_quant_config
+
+    cfg = tiny_config("llama", hidden_size=128, intermediate_size=256,
+                      num_heads=4, num_kv_heads=4, head_dim=32, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[128]-rw", "int8-g[-1]-rw", None,
+                              "int8-g[128]-rw", head_act="int8-g[-1]-rw")
+    alg.rtn(params, cfg, qcfg)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 8)))
+    sim = np.asarray(forward(params, cfg, toks, qcfg=qcfg))   # fake-quant
+    alg.pack_model(params, cfg, qcfg)
+    assert any(hasattr(params.get(k, {}).get("weight", None), "codes")
+               for k in ("lm_head",)) or "lm_head" in params
+    real = np.asarray(forward(params, cfg, toks, qcfg=qcfg))  # packed
+    np.testing.assert_allclose(real, sim, rtol=2e-2,
+                               atol=2e-2 * np.abs(sim).max())
