@@ -374,34 +374,46 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     ksf, vsf = fresh.k_scale[layer_idx], fresh.v_scale[layer_idx]
     S, W = Km.shape[-1], Kf.shape[-1]
 
-    s_m = dots(qi, Km).astype(jnp.float32) * qs * ksm * eff
-    s_f = dots(qi, Kf).astype(jnp.float32) * qs * ksf * eff
-    s_c = dots(qi, kc).astype(jnp.float32) * qs * ks * eff
-    scores = jnp.concatenate([s_m, s_f, s_c], axis=-1)     # (B,KV,r,S+W+1)
-    scores = softcap(scores, cfg.attn_logit_softcapping)
-
-    # masks: main holds positions < len0; fresh lane j is step j (< t);
-    # current (position len0 + t) always attends to itself. Sliding window
-    # w > 0 keeps positions > pos - w.
+    # The current token's K/V were just written into the fresh block at
+    # lane t (same _quant_i8 codes), so TWO dots cover [main | fresh+cur]
+    # — a third current-token dot + its concat lane measured ~0.2 ms/step
+    # at batch 128. Only the "append" ablation (fresh not written) still
+    # needs the in-register current-token score.
+    appended = "append" not in ablate
     pos = len0 + t                                          # (B,)
     w = window if window is not None else jnp.int32(0)
     sm_ids = jnp.arange(S)[None, :]
     keep_m = (sm_ids < len0[:, None]) & ((w <= 0) | (sm_ids > (pos - w)[:, None]))
     sf_ids = jnp.arange(W)[None, :]
-    keep_f = (sf_ids < t) & ((w <= 0) | ((len0[:, None] + sf_ids) > (pos - w)[:, None]))
-    keep = jnp.concatenate(
-        [keep_m, keep_f, jnp.ones((B, 1), bool)], axis=-1)  # (B, S+W+1)
+    # fresh lane j is step j; lane t IS the current token (always kept —
+    # for j == t the window term j > t - w holds for any w > 0)
+    keep_f = (sf_ids <= t if appended else sf_ids < t) \
+        & ((w <= 0) | ((len0[:, None] + sf_ids) > (pos - w)[:, None]))
+
+    s_m = dots(qi, Km).astype(jnp.float32) * qs * ksm * eff
+    s_f = dots(qi, Kf).astype(jnp.float32) * qs * ksf * eff
+    parts_s = [s_m, s_f]
+    parts_keep = [keep_m, keep_f]
+    parts_vs = [vsm, vsf]
+    if not appended:
+        parts_s.append(dots(qi, kc).astype(jnp.float32) * qs * ks * eff)
+        parts_keep.append(jnp.ones((B, 1), bool))
+        parts_vs.append(vs)
+    scores = jnp.concatenate(parts_s, axis=-1)              # (B,KV,r,S+W[+1])
+    scores = softcap(scores, cfg.attn_logit_softcapping)
+    keep = jnp.concatenate(parts_keep, axis=-1)             # (B, S+W[+1])
     scores = jnp.where(keep[:, None, None, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    vs_full = jnp.concatenate([vsm, vsf, vs], axis=-1)      # (B, KV, 1, S+W+1)
+    vs_full = jnp.concatenate(parts_vs, axis=-1)            # (B, KV, 1, ·)
     pv = probs * vs_full
     pi, ps = _row_quant(pv)
     dotv = lambda a, b: jax.lax.dot_general(      # (B,KV,r,S).(B,KV,D,S)
         a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)
-    o32 = (dotv(pi[..., :S], Vm) + dotv(pi[..., S:S + W], Vf)
-           + dotv(pi[..., S + W:], vc))                     # int32: exact sum
+    o32 = dotv(pi[..., :S], Vm) + dotv(pi[..., S:S + W], Vf)
+    if not appended:
+        o32 = o32 + dotv(pi[..., S + W:], vc)               # int32: exact sum
     out = (o32.astype(jnp.float32) * ps).astype(x.dtype)
     out = out.reshape(B, T, H * D)            # head order h = kv*r + j
     return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),

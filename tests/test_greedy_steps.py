@@ -1,0 +1,95 @@
+"""decode_greedy_steps (the scan serving fast path) vs per-step decode.
+
+The fresh-block path keeps the main KV cache read-only inside the scan
+(per-step K/V land in a FreshKV block, one merge after) and claims token
+and merged-cache equivalence with the per-step carried-cache path — this
+is its direct test (the bench was previously its only exerciser)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_compressor_tpu import algorithms as alg
+from llm_compressor_tpu.engine import decode_greedy_steps, init_cache, prefill
+from llm_compressor_tpu.engine.generate import decode_step, fresh_path_ok
+from llm_compressor_tpu.models import fuse_model, init_params, stack_model, tiny_config
+from llm_compressor_tpu.qformats import build_quant_config
+
+
+def _setup(packed: bool, hidden=64, inter=128, vocab=256):
+    cfg = tiny_config("llama", hidden_size=hidden, intermediate_size=inter,
+                      num_heads=4, num_kv_heads=2, head_dim=hidden // 4,
+                      num_layers=2, vocab_size=vocab)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = build_quant_config("int4-g[-2]-rw" if hidden < 128 else "int4-g[128]-rw",
+                              "int8-g[-1]-rw", None, None)
+    alg.rtn(params, cfg, qcfg)
+    if packed:
+        alg.pack_model(params, cfg, qcfg)
+    params = stack_model(fuse_model(params, cfg, qcfg))
+    return cfg, params, qcfg
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_fresh_path_matches_per_step_decode(packed):
+    cfg, params, qcfg = _setup(packed)
+    toks = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 6)).astype(np.int32)
+    n = 4
+
+    def prefilled():
+        cache = init_cache(cfg.num_layers, 2, 16, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(params, jnp.asarray(toks), cache,
+                                cfg=cfg, qcfg=qcfg)
+        return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+    tok, cache = prefilled()
+    assert fresh_path_ok(params, cfg, cache, qcfg)
+    fast_toks, fast_cache = decode_greedy_steps(params, tok, cache, n=n,
+                                                cfg=cfg, qcfg=qcfg)
+
+    tok, cache = prefilled()
+    slow = []
+    for _ in range(n):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        slow.append(np.asarray(tok[:, 0]))
+
+    np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
+    # merged cache: same codes where written (int8 codes may differ by 1 ulp
+    # of the scale path — assert close and lengths exact)
+    np.testing.assert_array_equal(np.asarray(fast_cache.lengths),
+                                  np.asarray(cache.lengths))
+    np.testing.assert_allclose(
+        np.asarray(fast_cache.k, dtype=np.int32)[..., :10],
+        np.asarray(cache.k, dtype=np.int32)[..., :10], atol=1)
+
+
+def test_carried_path_matches_per_step_decode():
+    """Without the int8-act config the scan falls to the carried-cache
+    body — same tokens as per-step decode."""
+    cfg = tiny_config("llama", num_layers=2, dtype="float32")
+    params = stack_model(init_params(cfg, jax.random.PRNGKey(1)))
+    toks = np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    n = 3
+
+    def prefilled():
+        cache = init_cache(cfg.num_layers, 1, 12, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+        logits, cache = prefill(params, jnp.asarray(toks), cache, cfg=cfg)
+        return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+    tok, cache = prefilled()
+    assert not fresh_path_ok(params, cfg, cache, None)
+    fast_toks, _ = decode_greedy_steps(params, tok, cache, n=n, cfg=cfg)
+
+    tok, cache = prefilled()
+    slow = []
+    for _ in range(n):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        slow.append(np.asarray(tok[:, 0]))
+    np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
