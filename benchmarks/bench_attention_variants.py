@@ -152,9 +152,31 @@ def main():
             interpret=jax.default_backend() != "tpu",
         )(jnp.asarray([li], jnp.int32).ravel(), lengths, q, kc, vc, ks, vs)
 
-    def make(fn):
+    # variant: V stored TRANSPOSED (L, B, KV, S, D). The PV dot then
+    # contracts p's lane dim against V's SUBLANE dim — the canonical
+    # (r, S) . (S, D) MXU form — instead of lane-vs-lane (which the cache
+    # docstring asserts is transpose-free; this measures that claim).
+    vt = jnp.transpose(vc, (0, 1, 2, 4, 3)).copy()     # (L, B, KV, S, D)
+
+    def attn_xla_codes_vt(li, q, kc, vc, ks, vs):
+        # here ``vc`` is the TRANSPOSED buffer (L, B, KV, S, D)
+        qi, qs = row_quant(q)
+        s32 = jax.lax.dot_general(
+            qi, kc[li], dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * qs * ks[li][:, :, :, :] * scale
+        p = jax.nn.softmax(mask_scores(s), axis=-1)
+        pv = p * vs[li]
+        pi, ps = row_quant(pv)
+        o32 = jax.lax.dot_general(  # (B, KV, r, S) . (B, KV, S, D)
+            pi, vc[li], dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32)
+        return (o32.astype(jnp.float32) * ps).reshape(B, KV, r, D)
+
+    def make(fn, vbuf=vc):
         # cache arrays ride as jit ARGS (closed-over device arrays embed in
-        # the tunnel compile payload -> HTTP 413 at S=2048; CLAUDE.md)
+        # the tunnel compile payload -> HTTP 413 at S=2048; CLAUDE.md) —
+        # ``vbuf`` lets the transposed-V variant stream its own layout
         @jax.jit
         def run(q, kc, vc, ks, vs):
             def outer(i, q):
@@ -166,10 +188,11 @@ def main():
                 q, _ = jax.lax.scan(layer, q, jnp.arange(L))
                 return q
             return jax.lax.fori_loop(0, args.outer, outer, q)
-        return lambda q: run(q, kc, vc, ks, vs)
+        return lambda q: run(q, kc, vbuf, ks, vs)
 
     variants = {"xla_dequant": make(attn_xla_dequant),
                 "xla_codes": make(attn_xla_codes),
+                "xla_codes_vt": make(attn_xla_codes_vt, vbuf=vt),
                 "pallas": make(attn_pallas),
                 "pallas_b": make(attn_pallas_b)}
     gb = args.outer * L * (2 * B * KV * D * S + 2 * B * KV * S * 4) / 1e9
@@ -184,6 +207,15 @@ def main():
 
     print(f"codes-vs-pallas rel err: "
           f"{float(_parity(q0, kc, vc, ks, vs)):.2e}", flush=True)
+
+    @jax.jit
+    def _parity_vt(q, kc, vc, vt, ks, vs):
+        a = attn_xla_codes(0, q, kc, vc, ks, vs)
+        b = attn_xla_codes_vt(0, q, kc, vt, ks, vs)
+        return jnp.max(jnp.abs(a - b))
+
+    print(f"codes-vs-vt abs err: "
+          f"{float(_parity_vt(q0, kc, vc, vt, ks, vs)):.2e}", flush=True)
 
     for name, fn in variants.items():
         jax.device_get(fn(q0)[:1, :1, :1, :1])
