@@ -43,6 +43,28 @@ from ..qformats.formats import ElemFormat
 from ..qformats.qtensor import QTensor
 
 
+# Process-level unpack-strategy A/B knob (read at import: jit caches would
+# ignore later changes anyway). Measured at flagship decode shapes
+# (M=128, g=128; experiments/exp_unpack_xor.py, same-run pairs, 2026-08-20):
+#   i32    — DEFAULT: both planes through an int32 round-trip, one K=group
+#            concat dot per group. 218-280 GB/s packed.
+#   hybrid — lo plane via ONE vector<u8> op (P & 0x0F; this Mosaic has
+#            8-bit AND/OR/XOR but no 8-bit shifts/add/sub —
+#            exp_i8_ops_probe.py), bias folded into a narrow f32 epilogue
+#            matmul; hi via int32. Measured EQUAL to i32 (220-280 GB/s):
+#            the kernel is MXU-pass-bound at decode M, not unpack-bound.
+#   xor    — bitwise-ops-only planes (L=lo+8, H=16*hi via the sign-flip
+#            two's-complement trick), TWO K=group/2 dots per group.
+#            Measured 20-40% SLOWER (156-184 GB/s): the doubled MXU passes
+#            cost more than all the saved VPU work.
+# The alternates stay numerics-tested (tests/test_w4a8.py::
+# test_unpack_modes_agree) because the verdict flips if a future libtpu
+# gains 8-bit shifts (hi drops its round-trip too and 'hybrid' should win).
+import os as _os
+
+_UNPACK = _os.environ.get("LLMC_INT4_UNPACK", "i32")
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -85,14 +107,97 @@ def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
     # the whole (TM, TN) f32 tile x gpk, 8x the tile's own HBM bytes in VMEM
     # traffic (measured: the int8 head ran 3x slower than its DMA floor).
     total = None
-    if int4:
-        # Whole-tile unpack (two wide VPU passes instead of 2*gpk narrow
-        # ones), then ONE K=group MXU dot per group: 'group halves' packing
-        # puts group gi's low-nibble elements at byte columns
-        # [gi*half, (gi+1)*half) and its high-nibble elements in the same
-        # columns' top nibbles, so concat([lo_g, hi_g]) IS the group's
-        # elements in natural order and pairs with the full x group slice —
-        # halving MXU passes vs two K=group/2 dots.
+    if int4 and _UNPACK == "hybrid":
+        # Hybrid unpack: the lo plane needs NO int32 round-trip — P & 0x0F
+        # is a single vector<u8> op (this Mosaic implements 8-bit AND/OR/
+        # XOR but not shifts/add/sub — exp_i8_ops_probe.py), giving the
+        # BIASED low nibble lo+8 in [0,15]; the -8 bias is linear in the
+        # dot, corrected by one narrow MXU dot against a group-half
+        # indicator (s_a = per-group sums of the lo-paired x columns).
+        # Only the hi plane round-trips through int32 (shift needs it).
+        # One K=group concat dot per group, same as i32 mode. The -8 bias
+        # is linear, so the WHOLE correction collapses into one narrow f32
+        # matmul in the epilogue instead of 16 full-tile vector passes:
+        #   sum_g (dot(x_a_g, lo_g + 8) - 8*s_a[g]) * st[g]
+        #   == sum_g dot(x_a_g, lo_g) * st[g]
+        #   == [per-group dots] - 8 * (s_a_f32 @ st)        (TM,gpk)@(gpk,TN)
+        # Exact in f32: s_a <= 127*64 < 2^13 and st is the exact group
+        # scale — products/sums stay well within f32's 24-bit mantissa
+        # relative to the same values the i32 path feeds through c.
+        P = wp_ref[...]                                     # (TN, tk/2) u8
+        lo_b = jax.lax.bitcast_convert_type(P & 0x0F, jnp.int8)  # lo + 8
+        hi = ((P.astype(jnp.int32) >> 4) - 8).astype(jnp.int8)
+        tk_ = gpk * group
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (tk_, gpk), 0)
+        gsel = jax.lax.broadcasted_iota(jnp.int32, (tk_, gpk), 1)
+        ind = ((kidx // group) == gsel) & ((kidx % group) < half)
+        a_ind = jnp.where(ind, 1, 0).astype(jnp.int8)       # (tk, gpk)
+        s_a = jax.lax.dot_general(                          # (TM, gpk) i32
+            x_i8, a_ind, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        for gi in range(gpk):
+            wg = jnp.concatenate(
+                [lo_b[:, gi * half:(gi + 1) * half],
+                 hi[:, gi * half:(gi + 1) * half]], axis=1)  # (TN, group)
+            part = jax.lax.dot_general(
+                x_i8[:, gi * group:(gi + 1) * group], wg,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            c = part.astype(jnp.float32) * st_ref[gi, :][None, :]
+            total = c if total is None else total + c
+        corr = jax.lax.dot_general(                         # (TM, TN) f32
+            s_a.astype(jnp.float32), st_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        total = total - 8.0 * corr
+    elif int4 and _UNPACK == "xor":
+        # Bitwise-ops-only unpack: this Mosaic implements AND/OR/XOR on
+        # vector<u8|i8> but NOT 8-bit shifts/add/sub (experiments/
+        # exp_i8_ops_probe.py), so instead of round-tripping every byte
+        # through int32 (the old path — compute-bound at ~208 GB/s packed),
+        # build two int8 planes with THREE byte-ops at full i8 lane density:
+        #   L = bitcast_i8(P & 0x0F)          = lo + 8      (biased low)
+        #   H = bitcast_i8((P ^ 0x80) & 0xF0) = 16 * hi     exactly
+        # (flipping bit 7 turns the biased high nibble into its 4-bit
+        # two's complement, which the int8 byte value sign-extends: e.g.
+        # hi=-3 -> nibble 13 -> byte 0xD0 -> int8 -48 = 16*(-3)).
+        # Per group ('group halves' packing: byte column b of the group
+        # holds elem b in its low nibble, elem b + group/2 in its high):
+        #   dot(x_a, L) + (dot(x_b, H) >> 4) - 8*sum(x_a)
+        # == dot(x_a, lo) + dot(x_b, hi) — BITWISE identical int32 to the
+        # int32-unpack path (dot(x_b,H) is divisible by 16, so the
+        # arithmetic shift is exact). Two K=half dots per group equal one
+        # K=group pass in MXU occupancy; the -8 bias correction comes from
+        # ONE extra narrow dot against a group-half indicator matrix.
+        P = wp_ref[...]                                     # (TN, tk/2) u8
+        L = jax.lax.bitcast_convert_type(P & 0x0F, jnp.int8)
+        H = jax.lax.bitcast_convert_type((P ^ 0x80) & 0xF0, jnp.int8)
+        tk_ = gpk * group
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (tk_, gpk), 0)
+        gsel = jax.lax.broadcasted_iota(jnp.int32, (tk_, gpk), 1)
+        ind = ((kidx // group) == gsel) & ((kidx % group) < half)
+        a_ind = jnp.where(ind, 1, 0).astype(jnp.int8)       # (tk, gpk)
+        s_a = jax.lax.dot_general(                          # (TM, gpk) i32
+            x_i8, a_ind, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        for gi in range(gpk):
+            d_lo = jax.lax.dot_general(
+                x_i8[:, gi * group: gi * group + half],
+                L[:, gi * half:(gi + 1) * half],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            d_hi = jax.lax.dot_general(
+                x_i8[:, gi * group + half:(gi + 1) * group],
+                H[:, gi * half:(gi + 1) * half],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = d_lo + (d_hi >> 4) - 8 * s_a[:, gi:gi + 1]
+            c = part.astype(jnp.float32) * st_ref[gi, :][None, :]
+            total = c if total is None else total + c
+    elif int4:
+        # Legacy int32-round-trip unpack (LLMC_INT4_UNPACK=i32): whole-tile
+        # lo/hi nibble planes then ONE K=group MXU dot per group on the
+        # concatenated [lo_g, hi_g] operand.
         wp = wp_ref[...].astype(jnp.int32)
         lo = ((wp & 0xF) - 8).astype(jnp.int8)       # (TN, tk/2)
         hi = ((wp >> 4) - 8).astype(jnp.int8)

@@ -155,3 +155,39 @@ def test_head_act_routes_integer_kernel(rng):
     real = np.asarray(forward(params, cfg, toks, qcfg=qcfg))  # packed
     np.testing.assert_allclose(real, sim, rtol=2e-2,
                                atol=2e-2 * np.abs(sim).max())
+
+
+def test_unpack_modes_agree(rng, monkeypatch):
+    """The three int4 unpack strategies (i32 / hybrid / xor —
+    kernels/w4a8_matmul._UNPACK, an on-chip A/B knob) compute the same
+    matmul: int32 dot math is exact in all three; only f32 epilogue
+    rounding differs (the hybrid/xor bias corrections are folded into
+    separate f32 terms)."""
+    import importlib
+
+    # the kernels package re-exports the function under the module's name,
+    # so a plain ``import a.b as wm`` resolves to the function
+    wm = importlib.import_module("llm_compressor_tpu.kernels.w4a8_matmul")
+
+    N, C, M, g = 256, 512, 8, 128
+    W = rng.normal(0, 0.1, size=(N, C)).astype(np.float32)
+    x = rng.normal(size=(M, C)).astype(np.float32)
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=g)
+    qt = quantize_pack(q, jnp.asarray(W))
+    x_i8, sx = quantize_acts_per_token(jnp.asarray(x))
+    scales_t = qt.scales_t
+    kw = dict(group=g, int4=True, tm=32, tn=256, tk=512)
+
+    outs = {}
+    for mode in ("i32", "hybrid", "xor"):
+        monkeypatch.setattr(wm, "_UNPACK", mode)
+        # __wrapped__ bypasses the jit cache (the mode is read at trace
+        # time, so the cached executable would ignore the monkeypatch)
+        outs[mode] = np.asarray(
+            wm._call.__wrapped__(x_i8, qt.codes, scales_t,
+                                 sx.astype(jnp.float32), **kw),
+            np.float32)
+    ref = outs["i32"]
+    for mode in ("hybrid", "xor"):
+        np.testing.assert_allclose(outs[mode], ref, rtol=1e-5,
+                                   atol=1e-5 * np.abs(ref).max())
