@@ -50,6 +50,17 @@ from .kvcache import (
 )
 
 
+def _scan_unroll(unroll: int = 0) -> int:
+    """Layer-scan unroll factor: explicit value, else LLMC_SCAN_UNROLL
+    (default 1). Read at trace time — an explicit static arg is required
+    to hold two factors in one process (see exp_scan_unroll.py)."""
+    if unroll:
+        return int(unroll)
+    import os
+
+    return max(1, int(os.environ.get("LLMC_SCAN_UNROLL", "1")))
+
+
 def acts_mode(qk_op, sv_op):
     """Map the attention-matmul quantizer configs onto the serving
     decode-attention modes.
@@ -455,10 +466,15 @@ def _fresh_layer(lp, cfg: ModelConfig, layer_idx: int, x, cache, fresh, t,
 
 
 def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
-                          fresh: FreshKV, t, qcfg, ablate=()):
+                          fresh: FreshKV, t, qcfg, ablate=(), unroll=0):
     """One decode step over the stacked-layer scan with the read-only main
     cache + fresh block. Returns (logits (B, V) — or hidden states when the
-    head is ablated — and the updated fresh block)."""
+    head is ablated — and the updated fresh block).
+
+    ``unroll`` (0 = the LLMC_SCAN_UNROLL default) unrolls the layer scan:
+    a decode layer body is ~150 latency-bound small ops around 4 kernel
+    calls, and a wider basic block lets XLA overlap glue with weight DMAs
+    across layers (experiments/exp_scan_unroll.py measures the A/B)."""
     from ..models.transformer import (
         layer_scan_plan,
         reinsert_packed,
@@ -495,7 +511,8 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
 
         (h, fresh), _ = jax.lax.scan(
             step, (h, fresh),
-            (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]))
+            (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]),
+            unroll=_scan_unroll(unroll))
     if "head" in ablate:
         return h[:, -1, :], fresh
     logits = head(params, cfg, h, qcfg)
@@ -612,11 +629,11 @@ def decode_step(params, token, cache: KVCache, *, cfg: ModelConfig,
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "ablate"),
+@partial(jax.jit, static_argnames=("n", "cfg", "qcfg", "ablate", "unroll"),
          donate_argnums=(2,))
 def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
                         cfg: ModelConfig, qcfg: Optional[QuantConfig] = None,
-                        ablate: tuple = ()):
+                        ablate: tuple = (), unroll: int = 0):
     """``n`` greedy decode steps inside ONE jit (lax.scan with the argmax
     token fed back) -> (tokens (B, n), cache). ``tokens[:, i]`` is the
     argmax AFTER consuming ``token`` and i generated predecessors.
@@ -645,7 +662,7 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
         def body_fresh(carry, t):
             tok, fr = carry
             logits, fr = _forward_decode_fresh(params, cfg, tok, cache, fr,
-                                               t, qcfg, ablate)
+                                               t, qcfg, ablate, unroll)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
             return (nxt, fr), nxt[:, 0]
 
