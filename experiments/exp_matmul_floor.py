@@ -69,12 +69,10 @@ def main():
                              jnp.asarray(rng.normal(size=(N, C))
                                          .astype(np.float32) * 0.02))
                for _ in range(L)]
-        codes = jnp.stack([t.codes for t in qts])
-        scales = jnp.stack([t.scales for t in qts])
+        codes = jnp.stack([t.codes.reshape(N, C // 2) for t in qts])
+        scales = jnp.stack([t.scales.reshape(N, C // 128) for t in qts])
         st = jnp.stack([t.scales.reshape(N, C // 128).T for t in qts])
-        return QTensor(codes=codes, scales=scales, zeros=None,
-                       quantizer=qts[0].quantizer, shape=(N, C),
-                       scales_t=st)
+        return qts[0].replace(codes=codes, scales=scales, scales_t=st)
 
     weights = {name: stacked_qt(C, N) for name, C, N in SHAPES}
     wbytes = {name: int(weights[name].codes.nbytes
@@ -85,23 +83,35 @@ def main():
         m = jnp.max(y.astype(jnp.float32))
         return (x * 0.999 + 0.001 * m / (1.0 + jnp.abs(m))).astype(x.dtype)
 
-    def make(names):
+    def make(names, unroll_layers=False, act_inside=False):
         qts = [weights[n] for n in names]
         shp = {n: (C, N) for n, C, N in SHAPES}
+
+        def one_layer(x, li):
+            for n, qt in zip(names, qts):
+                C, N = shp[n]
+                xin = x if C == 2048 else jnp.tile(x, (1, C // 2048))
+                if act_inside:
+                    y = w4a8_matmul(xin.astype(jnp.bfloat16), qt,
+                                    act_inside=True)
+                else:
+                    y = w4a8_matmul(xin.astype(jnp.bfloat16), qt, layer=li)
+
+                x = chain(x, y)
+            return x
 
         @jax.jit
         def run(x0, *qts):
             def layer_body(carry, li):
-                x = carry
-                for n, qt in zip(names, qts):
-                    C, N = shp[n]
-                    xin = x if C == 2048 else jnp.tile(x, (1, C // 2048))
-                    y = w4a8_matmul(xin.astype(jnp.bfloat16), qt, layer=li)
-                    x = chain(x, y)
-                return x, None
+                return one_layer(carry, li), None
 
             def step_body(carry, _):
-                x, _ = jax.lax.scan(layer_body, carry, jnp.arange(L))
+                if unroll_layers:
+                    x = carry
+                    for li in range(L):
+                        x = one_layer(x, jnp.int32(li))
+                else:
+                    x, _ = jax.lax.scan(layer_body, carry, jnp.arange(L))
                 return x, None
 
             x, _ = jax.lax.scan(step_body, x0, None, length=args.steps)
@@ -109,11 +119,26 @@ def main():
 
         return run, qts
 
+    probe2 = bool(int(os.environ.get("FLOOR_PROBE2", "0")))
+    if probe2:
+        # round 2: discriminate per-kernel vs per-iteration overhead.
+        # qkv x2 (marginal cost of a small repeated kernel), python-unrolled
+        # layers (no inner scan at all), act-inside variant (one stacked
+        # layer only: _call_actq has no stacked form — overhead comparison
+        # rides on layer 0's weights every iteration... keep layer scan).
+        cases = [((["qkv"],), {}), ((["qkv", "qkv"],), {}),
+                 ((["qkv"],), dict(unroll_layers=True)),
+                 ((["gateup", "gateup"],), {}),
+                 (([n for n, _, _ in SHAPES],), dict(unroll_layers=True))]
+    else:
+        cases = [(([n for n, _, _ in SHAPES],), {}), ((["qkv"],), {}),
+                 ((["o"],), {}), ((["gateup"],), {}), ((["down"],), {})]
+
     variants = {}
-    for names in ([n for n, _, _ in SHAPES], ["qkv"], ["o"], ["gateup"],
-                  ["down"]):
-        tag = "+".join(names)
-        run, qts = make(names)
+    for (names,), kw in cases:
+        tag = "+".join(names) + ("!unroll" if kw.get("unroll_layers") else "")
+        names_kw = kw
+        run, qts = make(names, **names_kw)
         x0 = jnp.asarray(rng.normal(size=(M, 2048)).astype(np.float32),
                          jnp.bfloat16)
         t0 = time.perf_counter()

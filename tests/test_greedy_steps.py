@@ -67,6 +67,28 @@ def test_fresh_path_matches_per_step_decode(packed):
         np.asarray(cache.k, dtype=np.int32)[..., :10], atol=1)
 
 
+def test_scan_unroll_is_bitwise_neutral():
+    """The layer-scan unroll knob (measured an exact perf tie on the v5e —
+    exp_scan_unroll.py — but kept as a tuning knob for other topologies)
+    must not change a single emitted token."""
+    cfg, params, qcfg = _setup(packed=True)
+    toks = np.random.default_rng(2).integers(
+        0, cfg.vocab_size, (2, 5)).astype(np.int32)
+
+    outs = []
+    for u in (1, 2, 3):
+        cache = init_cache(cfg.num_layers, 2, 16, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(params, jnp.asarray(toks), cache,
+                                cfg=cfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        t, _ = decode_greedy_steps(params, tok, cache, n=4, cfg=cfg,
+                                   qcfg=qcfg, unroll=u)
+        outs.append(np.asarray(t))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_carried_path_matches_per_step_decode():
     """Without the int8-act config the scan falls to the carried-cache
     body — same tokens as per-step decode."""
