@@ -83,7 +83,8 @@ def main():
         m = jnp.max(y.astype(jnp.float32))
         return (x * 0.999 + 0.001 * m / (1.0 + jnp.abs(m))).astype(x.dtype)
 
-    def make(names, unroll_layers=False, act_inside=False):
+    def make(names, unroll_layers=False, act_inside=False,
+             slice_chain=False):
         qts = [weights[n] for n in names]
         shp = {n: (C, N) for n, C, N in SHAPES}
 
@@ -97,7 +98,17 @@ def main():
                 else:
                     y = w4a8_matmul(xin.astype(jnp.bfloat16), qt, layer=li)
 
-                x = chain(x, y)
+                if slice_chain:
+                    # elementwise-only dependency (like the real model's
+                    # residual adds): no scalar reduce in the chain. NOTE
+                    # XLA slice-pushes tiny output deps INTO a matmul
+                    # (CLAUDE.md) — but y[:, :2048]*eps feeds a full
+                    # elementwise add, and the kernel is an opaque custom
+                    # call, so the whole output is still computed.
+                    x = (x + y[:, :2048].astype(jnp.float32) * 1e-6)\
+                        .astype(x.dtype)
+                else:
+                    x = chain(x, y)
             return x
 
         @jax.jit
@@ -130,14 +141,17 @@ def main():
         # tunnel's 100MB compile-payload limit — HTTP 413 — and are
         # dropped; the three qkv variants discriminate the hypotheses.)
         cases = [((["qkv"],), {}), ((["qkv", "qkv"],), {}),
-                 ((["qkv"],), dict(unroll_layers=True))]
+                 ((["qkv"],), dict(unroll_layers=True)),
+                 ((["qkv"],), dict(slice_chain=True)),
+                 (([n for n, _, _ in SHAPES],), dict(slice_chain=True))]
     else:
         cases = [(([n for n, _, _ in SHAPES],), {}), ((["qkv"],), {}),
                  ((["o"],), {}), ((["gateup"],), {}), ((["down"],), {})]
 
     variants = {}
     for (names,), kw in cases:
-        tag = "+".join(names) + ("!unroll" if kw.get("unroll_layers") else "")
+        tag = "+".join(names) + ("!unroll" if kw.get("unroll_layers") else "") \
+            + ("!slicechain" if kw.get("slice_chain") else "")
         names_kw = kw
         run, qts = make(names, **names_kw)
         x0 = jnp.asarray(rng.normal(size=(M, 2048)).astype(np.float32),
