@@ -50,15 +50,23 @@ from .kvcache import (
 )
 
 
-def _scan_unroll(unroll: int = 0) -> int:
-    """Layer-scan unroll factor: explicit value, else LLMC_SCAN_UNROLL
-    (default 1). Read at trace time — an explicit static arg is required
-    to hold two factors in one process (see exp_scan_unroll.py)."""
-    if unroll:
-        return int(unroll)
-    import os
+# LLMC_SCAN_UNROLL is latched ONCE at import: the jit cache key only
+# carries the explicit ``unroll`` argument (0 = "use the default"), so a
+# mid-process env-var change would be silently ignored by already-compiled
+# executables — latching makes the behavior deterministic per process.
+# Pass ``unroll=N`` explicitly to hold several factors in one process
+# (see experiments/exp_scan_unroll.py).
+import os as _os
 
-    return max(1, int(os.environ.get("LLMC_SCAN_UNROLL", "1")))
+_DEFAULT_SCAN_UNROLL = max(1, int(_os.environ.get("LLMC_SCAN_UNROLL", "1")))
+
+
+def _scan_unroll(unroll: int = 0) -> int:
+    """Layer-scan unroll factor: explicit value (clamped to >= 1), else
+    the LLMC_SCAN_UNROLL default latched at module import."""
+    if unroll:
+        return max(1, int(unroll))
+    return _DEFAULT_SCAN_UNROLL
 
 
 def acts_mode(qk_op, sv_op):
@@ -641,6 +649,10 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
     Per-dispatch latency over the axon tunnel measured ~5 ms; batching steps
     into one dispatch amortizes it. Use for greedy/batch generation; the
     per-step ``decode_step`` remains for sampling / EOS-reactive loops.
+
+    ``unroll=0`` uses the LLMC_SCAN_UNROLL default, which is latched ONCE
+    at module import — changing the env var later in the process has no
+    effect (pass ``unroll`` explicitly instead).
 
     ``ablate`` is benchmark-only (subset of {"head", "attn", "append"}):
     drops components so bench.py can attribute step time; generated tokens

@@ -145,8 +145,19 @@ def alibi_slopes(n_heads: int) -> jnp.ndarray:
 
 
 def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
-    """(H, 1, S) additive bias: slope_h * kv_position."""
-    slopes = alibi_slopes(n_heads)  # (H,)
+    """(H, 1, S) additive bias: slope_h * kv_position.
+
+    Inside a tensor-parallel shard_map trace (tp_trace), ``n_heads`` is the
+    LOCAL head count but the slopes are a function of the GLOBAL head index
+    (reference HF BLOOM build_alibi_tensor semantics): build the full slope
+    table for ``n_heads * n_shards`` heads and slice this shard's block at
+    axis_index * n_heads — numerics identical to single-chip."""
+    if _TP["axis"] is not None and _TP["size"] > 1:
+        all_slopes = alibi_slopes(n_heads * _TP["size"])
+        off = jax.lax.axis_index(_TP["axis"]) * n_heads
+        slopes = jax.lax.dynamic_slice_in_dim(all_slopes, off, n_heads)
+    else:
+        slopes = alibi_slopes(n_heads)  # (H,)
     return slopes[:, None, None] * kv_positions[None, None, :].astype(jnp.float32)
 
 
@@ -159,19 +170,21 @@ def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
 # the local matmul yields a partial sum that must be psum'ed over the model
 # axis BEFORE bias / output quantization; their per-token activation scales
 # need a global (pmax) absmax so numerics match single-chip execution.
-_TP = {"axis": None}
+_TP = {"axis": None, "size": 1}
 _TP_ROW_SLOTS = frozenset(("o", "down", "fc2"))
 
 
 @contextmanager
-def tp_trace(axis: str):
-    """Enable TP-aware qlinear behavior while tracing a shard_map body."""
-    prev = _TP["axis"]
-    _TP["axis"] = axis
+def tp_trace(axis: str, size: int = 1):
+    """Enable TP-aware qlinear behavior while tracing a shard_map body.
+    ``size`` is the model-axis extent (needed by ALiBi, whose slopes are a
+    function of the global head index)."""
+    prev = (_TP["axis"], _TP["size"])
+    _TP["axis"], _TP["size"] = axis, size
     try:
         yield
     finally:
-        _TP["axis"] = prev
+        _TP["axis"], _TP["size"] = prev
 
 
 def maybe_quant(q: Optional[Quantizer], x):

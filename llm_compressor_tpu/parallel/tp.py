@@ -26,9 +26,12 @@ Serving-fused qkv_cat/gateup params shard only in the per-shard
 interleaved layout — build them with ``fuse_model(..., shards=n_model)``
 and pass ``fused=True`` here.
 
-Not supported (falls back to the GSPMD path): ALiBi (slopes are a function
-of the global head index), fused-QKV archs (BLOOM), non-divisible head/ffn
-counts.
+ALiBi archs (BLOOM) shard too: slopes are a function of the GLOBAL head
+index, so models.layers.alibi_bias slices the full slope table at
+axis_index * local_heads inside the trace; the fused query_key_value
+weight is stored per-head interleaved, so a contiguous column shard is a
+head shard as-is. Not supported (falls back to the GSPMD path):
+non-divisible head/ffn counts.
 """
 
 from __future__ import annotations
@@ -52,8 +55,11 @@ _ROW_SLOTS = ("o", "down", "fc2")
 
 
 def tp_supported(cfg: ModelConfig, n_model: int) -> bool:
-    return (cfg.pos_embedding != "alibi" and not cfg.fused_qkv
-            and cfg.num_heads % n_model == 0
+    """ALiBi shards (slopes sliced by global head index inside the trace —
+    models.layers.alibi_bias) and BLOOM's fused query_key_value is
+    per-head-interleaved, so a contiguous output-dim shard IS a head shard
+    (column-parallel as stored); only head/ffn divisibility is required."""
+    return (cfg.num_heads % n_model == 0
             and cfg.num_kv_heads % n_model == 0
             and cfg.intermediate_size % n_model == 0)
 
@@ -83,7 +89,11 @@ def _leaf_spec(path_keys, leaf, n_model: int, fused: bool = False) -> P:
                     "interleaved layout); plain fused params cannot TP-shard")
             if slot in ("q_norm", "k_norm"):
                 return P()
-            col = slot in _COL_SLOTS or slot in ("qkv_cat", "gateup")
+            # "qkv" (BLOOM fused query_key_value) stores rows per-head
+            # interleaved (h0:[q|k|v], h1:[q|k|v], ...) — an equal
+            # contiguous split over the output dim is exactly a head
+            # split, so it column-shards without re-interleaving.
+            col = slot in _COL_SLOTS or slot in ("qkv_cat", "gateup", "qkv")
             row = slot in _ROW_SLOTS
             if not (col or row):
                 return P()
@@ -181,7 +191,7 @@ def tp_serve_fns(params, cfg: ModelConfig, mesh: Mesh,
     logits_spec = P("data", "model") if vocab_sharded else P("data", None)
 
     def _body(p, tokens, cache, start):
-        with tp_trace("model"):
+        with tp_trace("model", n_model):
             logits, cache = _forward_cached(p, lcfg, tokens, cache, start, qcfg)
         return logits, cache
 

@@ -58,13 +58,18 @@ def test_fresh_path_matches_per_step_decode(packed):
         slow.append(np.asarray(tok[:, 0]))
 
     np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
-    # merged cache: same codes where written (int8 codes may differ by 1 ulp
-    # of the scale path — assert close and lengths exact)
+    # merged cache: BITWISE equal codes AND scales over the full written
+    # window (prefill prefix + the n decoded positions) — the fresh path's
+    # _quant_i8 + merge scatter must reproduce per-step appends exactly
+    # (generate.py fresh-block contract, kvcache.py FreshKV docstring)
     np.testing.assert_array_equal(np.asarray(fast_cache.lengths),
                                   np.asarray(cache.lengths))
-    np.testing.assert_allclose(
-        np.asarray(fast_cache.k, dtype=np.int32)[..., :10],
-        np.asarray(cache.k, dtype=np.int32)[..., :10], atol=1)
+    w = slice(0, toks.shape[1] + n)  # prefill prefix + decoded positions
+    for name in ("k", "v", "k_scale", "v_scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast_cache, name))[..., w],
+            np.asarray(getattr(cache, name))[..., w],
+            err_msg=f"fresh-path merged cache.{name} not bitwise equal")
 
 
 def test_scan_unroll_is_bitwise_neutral():

@@ -30,6 +30,7 @@ def _reference(params, cfg, qcfg, toks, quantized_kv):
 
 @pytest.mark.parametrize("arch,n_data,n_model", [
     ("llama", 2, 2), ("llama", 1, 4), ("qwen2", 2, 2), ("phi", 1, 2),
+    ("bloom", 1, 2), ("bloom", 1, 4),  # ALiBi slopes sliced by global head
 ])
 def test_tp_decode_matches_single_device(arch, n_data, n_model):
     kv = {"num_kv_heads": 4} if n_model == 4 else {}
@@ -77,9 +78,12 @@ def test_tp_packed_w4a8_matches_single_device():
     np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-3, atol=2e-3)
 
 
-def test_tp_rejects_fused_and_alibi():
-    cfg = tiny_config("bloom")
-    assert not tp_supported(cfg, 2)
+def test_tp_rejects_plain_fused_and_indivisible():
+    # BLOOM (ALiBi + fused QKV) is TP-shardable since round 4; only
+    # non-divisible head counts reject.
+    assert tp_supported(tiny_config("bloom"), 2)
+    assert not tp_supported(tiny_config("bloom", num_heads=4,
+                                        num_kv_heads=4), 8)
     cfg = tiny_config("llama")
     mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
     from llm_compressor_tpu.models import fuse_model
