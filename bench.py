@@ -20,9 +20,20 @@ the intra-run ratio ``roofline_frac`` is meaningful).
 
 Fixed-batch series (b32 + b128) keeps round-over-round ratios comparable
 (VERDICT r2 item 3); ``ttft_ms_*`` is the p50 prefill latency for a
-512-token prompt (includes the ~5-25 ms tunnel dispatch RTT on this box);
-``t_*_ms`` is the per-component decode-step time budget measured by
-cumulative ablation (experiments/exp_decode_budget.py methodology).
+512-token prompt (a LATENCY metric: it includes the per-dispatch tunnel
+RTT, whose same-run measurement is reported as ``rtt_ms``);
+``prefill_tps_b8``/``prefill_mfu_frac`` are the RTT-corrected prefill
+throughput and its MFU vs a same-run bf16 matmul anchor; ``t_*_ms`` is the
+per-component decode-step time budget measured by cumulative ablation
+(experiments/exp_decode_budget.py methodology).
+
+ROUND-4 TIMING CORRECTION: every dispatch over the axon tunnel carries a
+~25-29 ms constant (pure RTT — independent of the work dispatched,
+experiments/exp_dispatch_const.py). Round-3 timings amortized it over only
+32 steps (~0.8 ms/step, reported then as an unexplained '47 us/layer fixed
+decode cost'). Throughput sections now chain dependent dispatches with one
+device_get barrier (dependent dispatches pipeline: exp_dispatch_chain.py)
+and subtract the same-run-measured constant.
 
 Extras (TTFT, breakdown, batch-32) are skipped if the run exceeds a soft
 time budget or LLMC_BENCH_FAST=1 — the primary metric line always prints.
@@ -41,6 +52,47 @@ SOFT_BUDGET_S = float(os.environ.get("LLMC_BENCH_BUDGET_S", "2100"))
 
 def _elapsed():
     return time.perf_counter() - T_START
+
+
+def _measure_rtt_ms(reps=6):
+    """Same-run dispatch RTT constant (ms): a trivial jit timed with the
+    standard recipe (device_get input, time dispatch + device_get output).
+    Round-4 finding (experiments/exp_dispatch_const.py): this constant is
+    ~25-29 ms on the axon tunnel and INDEPENDENT of the work dispatched
+    (a no-op 512-step scan costs the same as a 32-step one) — it inflated
+    every round-3 absolute timing by ~25 ms/dispatch (the whole
+    '47 us/layer fixed decode cost' was this constant over 32 steps).
+    Every timed section below subtracts it; it is reported as rtt_ms."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return 0.0
+
+    @jax.jit
+    def tiny(x):
+        return x * 1.0000001 + 1.0
+
+    z = jnp.arange(1024, dtype=jnp.float32)
+    jax.device_get(tiny(z)[:4])
+    times = []
+    for i in range(reps):
+        z2 = z + float(i + 1)
+        jax.device_get(z2[:4])
+        t0 = time.perf_counter()
+        jax.device_get(tiny(z2)[:4])
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(min(times))
+
+
+_RTT_MS = None
+
+
+def _rtt_ms():
+    global _RTT_MS
+    if _RTT_MS is None:
+        _RTT_MS = _measure_rtt_ms()
+    return _RTT_MS
 
 
 def _stream_gbs(iters=64, mib=512):
@@ -66,7 +118,7 @@ def _stream_gbs(iters=64, mib=512):
     jax.device_get(x2[:8])                        # fresh values, queue drained
     t0 = time.perf_counter()
     jax.device_get(walk(x2)[:8])                  # device_get = real barrier
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - _rtt_ms() / 1e3, 1e-6)
     return iters * 2 * x.nbytes / dt / 1e9
 
 
@@ -88,7 +140,7 @@ def _decode_bytes_per_step(params, cache):
 
 
 def _bench_decode(params, cfg, qcfg=None, steps=32, batch=128,
-                  prefill_len=128, ablate=()):
+                  prefill_len=128, ablate=(), chain=2):
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +150,18 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, batch=128,
     # Skip the prefill compile (it isn't timed): a zero cache advanced to
     # prefill_len has identical decode cost to a real one. Greedy decoding
     # runs as ONE jitted lax.scan over the steps — the serving fast path.
-    max_len = -(-(prefill_len + 2 * steps + 2) // 128) * 128
+    # The timed section runs ``chain`` DEPENDENCY-CHAINED dispatches of the
+    # same executable (each call's cache + last token feed the next) with
+    # ONE device_get barrier at the end: dependent dispatches pipeline over
+    # the tunnel (experiments/exp_dispatch_chain.py: 8 chained = 1 RTT +
+    # 8x compute, while independent dispatches with per-call gets
+    # serialize), and the remaining single RTT constant — measured same-run
+    # by _measure_rtt_ms — is subtracted.
+    # 2 warm execs + the chained timed execs advance lengths; the window
+    # stays 256 lanes at the defaults (the round-3 workload shape — the
+    # attention streams the whole static window, so max_len IS the
+    # attention workload knob).
+    max_len = -(-(prefill_len + (chain + 2) * steps) // 128) * 128
     cache = init_cache(cfg.num_layers, batch, max_len,
                        cfg.num_kv_heads, cfg.head_dim, quantized=True)
     cache = cache.replace(lengths=jnp.full((batch,), prefill_len, jnp.int32))
@@ -119,12 +182,61 @@ def _bench_decode(params, cfg, qcfg=None, steps=32, batch=128,
     jax.device_get(toks)
 
     t0 = time.perf_counter()
-    toks, cache = decode_greedy_steps(params, toks[:, -1:], cache, n=steps,
-                                      cfg=cfg, qcfg=qcfg, ablate=ablate)
+    for _ in range(chain):
+        toks, cache = decode_greedy_steps(params, toks[:, -1:], cache,
+                                          n=steps, cfg=cfg, qcfg=qcfg,
+                                          ablate=ablate)
     jax.device_get(toks)
-    dt = time.perf_counter() - t0
-    gbs = _decode_bytes_per_step(params, cache) * steps / dt / 1e9
-    return batch * steps / dt, gbs, dt / steps * 1e3  # tok/s, GB/s, ms/step
+    n_steps = chain * steps
+    dt = max(time.perf_counter() - t0 - _rtt_ms() / 1e3, 1e-6)
+    gbs = _decode_bytes_per_step(params, cache) * n_steps / dt / 1e9
+    return batch * n_steps / dt, gbs, dt / n_steps * 1e3  # tok/s, GB/s, ms/step
+
+
+def _matmul_anchor_tflops(iters=48, n=4096):
+    """Same-run achievable bf16 matmul rate (TFLOP/s): value-chained
+    (4096,4096)@(4096,4096) bf16 dots in one jitted fori_loop (fresh input,
+    RTT-subtracted). This is the MFU denominator for the prefill metric —
+    chip throughput swings ~3x across minutes, so only the same-run ratio
+    is meaningful."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        iters, n = 2, 256
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32) * (n ** -0.5),
+                    jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32), jnp.bfloat16)
+
+    @jax.jit
+    def walk(x, W):
+        def body(i, a):
+            y = jnp.dot(a, W, preferred_element_type=jnp.float32)
+            # renormalize via a non-reassociable max so the weight stream
+            # cannot be algebraically collapsed (CLAUDE.md scan-sum trap)
+            m = jnp.max(jnp.abs(y))
+            return (y / (m + 1.0)).astype(a.dtype)
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    jax.device_get(walk(x, W)[:1, :8])
+    x2 = x + 0.25
+    jax.device_get(x2[:1, :8])
+    t0 = time.perf_counter()
+    jax.device_get(walk(x2, W)[:1, :8])
+    dt = max(time.perf_counter() - t0 - _rtt_ms() / 1e3, 1e-6)
+    return iters * 2 * n ** 3 / dt / 1e12
+
+
+def _prefill_flops_per_token(cfg, qcfg) -> float:
+    """Dense projection FLOPs per token (attention score/PV FLOPs excluded
+    — <4% at the 512-token bench prompt)."""
+    E, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    per_layer = E * (H * D) + E * (2 * KV * D) + (H * D) * E  # qkv + o
+    per_layer += 3 * E * I if cfg.mlp_style == "gated" else 2 * E * I
+    return 2.0 * (L * per_layer + E * cfg.vocab_size)  # + lm head
 
 
 def _bench_ttft(params, cfg, qcfg, batch, prompt_len=512, reps=5):
@@ -209,6 +321,10 @@ def main():
         "batch": 128,
         "bf16_tps_b128": round(bf16_tps, 2),
         "t_step_ms": round(t_step, 3),
+        # per-dispatch constant measured same-run and subtracted from every
+        # throughput timing (it is pure tunnel RTT — exp_dispatch_const.py;
+        # round-3 numbers carried it: ~0.8 ms/step at 32 steps/dispatch)
+        "rtt_ms": round(_rtt_ms(), 1),
     }
 
     def extras():
@@ -219,10 +335,23 @@ def main():
         if _elapsed() < SOFT_BUDGET_S:
             b32f, _, _ = _bench_decode(bf16, cfg, batch=32)
             out["bf16_tps_b32"] = round(b32f, 2)
-        # p50 TTFT, 512-token prompt (BASELINE.md:73)
+        # p50 TTFT, 512-token prompt (BASELINE.md:73). TTFT is a LATENCY
+        # metric so the dispatch RTT stays in it — rtt_ms (reported above)
+        # is its share; subtract it to read pure prefill compute.
         for b, key in ((1, "ttft_ms_b1"), (8, "ttft_ms_b8")):
             if _elapsed() < SOFT_BUDGET_S:
                 out[key] = round(_bench_ttft(params, cfg, qcfg, b), 1)
+        # prefill throughput + MFU at b8 (VERDICT r3 item 4): tokens/s over
+        # the RTT-corrected p50, MFU vs a same-run bf16 matmul anchor
+        if "ttft_ms_b8" in out and _elapsed() < SOFT_BUDGET_S:
+            t_ms = max(out["ttft_ms_b8"] - out.get("rtt_ms", 0.0), 1e-3)
+            toks = 8 * 512
+            out["prefill_tps_b8"] = round(toks / (t_ms / 1e3), 1)
+            anchor = _matmul_anchor_tflops()
+            out["bf16_anchor_tflops"] = round(anchor, 1)
+            tflops = _prefill_flops_per_token(cfg, qcfg) * toks / 1e12
+            out["prefill_mfu_frac"] = round(
+                tflops / (t_ms / 1e3) / anchor, 3)
         # decode-step component budget by cumulative ablation
         steps_ms = {}
         for tag, ab in (("nohead", ("head",)),

@@ -92,7 +92,12 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: ModelConfig, batch_slots: int = 8,
                  max_len: int = 1024, qcfg: Optional[QuantConfig] = None,
                  quantized_kv: bool = False, seed: int = 0,
-                 prefill_chunk: int = 128):
+                 prefill_chunk: int = 128, tp_mesh=None, tp_fused=False):
+        """``tp_mesh``: run the two device programs under explicit
+        shard_map tensor parallelism (parallel.tp.tp_batch_fns) — pass
+        TP-sharded ``params`` (tp_shard_params) and the mesh; the shared
+        and mini KV caches are sharded over the KV-head axis here. Slots
+        stay replicated (data-parallel serving = one batcher per replica)."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg
@@ -100,9 +105,20 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.quantized_kv = quantized_kv
         self.prefill_chunk = min(prefill_chunk, max_len)
-        self.cache = init_cache(cfg.num_layers, batch_slots, max_len,
-                                cfg.num_kv_heads, cfg.head_dim,
-                                quantized=quantized_kv)
+        self.tp_mesh = tp_mesh
+        if tp_mesh is not None:
+            from ..parallel.tp import tp_batch_cache_specs, tp_batch_fns
+
+            self._chunk_fn, self._decode_fn = tp_batch_fns(
+                params, cfg, tp_mesh, qcfg=qcfg, fused=tp_fused)
+            self._cache_specs = tp_batch_cache_specs
+        else:
+            self._chunk_fn = partial(_prefill_chunk, cfg=cfg, qcfg=qcfg)
+            self._decode_fn = partial(_decode_all, cfg=cfg, qcfg=qcfg)
+            self._cache_specs = None
+        self.cache = self._shard(init_cache(
+            cfg.num_layers, batch_slots, max_len, cfg.num_kv_heads,
+            cfg.head_dim, quantized=quantized_kv))
         self.slot_req: List[Optional[Request]] = [None] * batch_slots
         self.pending: Dict[int, _Pending] = {}        # slot -> mid-admission
         self.queue: List[Request] = []
@@ -110,6 +126,17 @@ class ContinuousBatcher:
         self.next_token = np.zeros((batch_slots, 1), dtype=np.int32)
         self.key = jax.random.PRNGKey(seed)
         self._uid = 0
+
+    def _shard(self, cache: KVCache) -> KVCache:
+        """device_put a cache with TP shardings (no-op single-chip)."""
+        if self.tp_mesh is None:
+            return cache
+        from jax.sharding import NamedSharding
+
+        specs = self._cache_specs(cache)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.tp_mesh, s)),
+            cache, specs)
 
     # ------------------------------------------------------------------
     def submit(self, tokens: np.ndarray, **kw) -> int:
@@ -126,16 +153,17 @@ class ContinuousBatcher:
         First-hit remote compiles take minutes over the tunnel; call this
         before serving traffic. Safe: the dummy decode writes K/V at
         position 0 of empty slots, which admission later overwrites."""
-        mini = init_cache(self.cfg.num_layers, 1, self.prefill_chunk,
-                          self.cfg.num_kv_heads, self.cfg.head_dim,
-                          quantized=self.quantized_kv)
-        last, mini = _prefill_chunk(
+        mini = self._shard(init_cache(
+            self.cfg.num_layers, 1, self.prefill_chunk,
+            self.cfg.num_kv_heads, self.cfg.head_dim,
+            quantized=self.quantized_kv))
+        last, mini = self._chunk_fn(
             self.params, jnp.zeros((1, self.prefill_chunk), jnp.int32), mini,
-            jnp.int32(0), jnp.int32(0), cfg=self.cfg, qcfg=self.qcfg)
+            jnp.int32(0), jnp.int32(0))
         last.block_until_ready()
-        logits, self.cache = _decode_all(
+        logits, self.cache = self._decode_fn(
             self.params, jnp.asarray(self.next_token), self.cache,
-            jnp.zeros((self.slots,), jnp.bool_), cfg=self.cfg, qcfg=self.qcfg)
+            jnp.zeros((self.slots,), jnp.bool_))
         logits.block_until_ready()
 
     def _start_pending(self):
@@ -155,9 +183,10 @@ class ContinuousBatcher:
                 # Cost: one compiled chunk program per chunk-count class
                 # (≤ max_len/C, each compiled once, persistent-cached) —
                 # the token chunk itself stays fixed-size.
-                mini = init_cache(self.cfg.num_layers, 1, padded.shape[1],
-                                  self.cfg.num_kv_heads, self.cfg.head_dim,
-                                  quantized=self.quantized_kv)
+                mini = self._shard(init_cache(
+                    self.cfg.num_layers, 1, padded.shape[1],
+                    self.cfg.num_kv_heads, self.cfg.head_dim,
+                    quantized=self.quantized_kv))
                 self.pending[s] = _Pending(req, mini, padded, T)
 
     def _advance_pending(self, s: int):
@@ -167,9 +196,9 @@ class ContinuousBatcher:
         C = self.prefill_chunk
         chunk = jnp.asarray(p.padded[:, p.offset:p.offset + C])
         last_idx = max(0, min(p.length - 1 - p.offset, C - 1))
-        p.last, p.mini = _prefill_chunk(
+        p.last, p.mini = self._chunk_fn(
             self.params, chunk, p.mini, jnp.int32(p.offset),
-            jnp.int32(last_idx), cfg=self.cfg, qcfg=self.qcfg)
+            jnp.int32(last_idx))
         p.offset += C
         if p.offset < p.padded.shape[1]:
             return
@@ -236,9 +265,8 @@ class ContinuousBatcher:
         if not any(active_list) and not self.queue and not self.pending:
             return False
         active = jnp.asarray(active_list, dtype=jnp.bool_)
-        logits, self.cache = _decode_all(
-            self.params, jnp.asarray(self.next_token), self.cache, active,
-            cfg=self.cfg, qcfg=self.qcfg)
+        logits, self.cache = self._decode_fn(
+            self.params, jnp.asarray(self.next_token), self.cache, active)
         logits_np = np.asarray(logits)
         for s in range(self.slots):
             req = self.slot_req[s]

@@ -225,3 +225,68 @@ def tp_serve_fns(params, cfg: ModelConfig, mesh: Mesh,
         return fn
 
     return _wrap(_prefill_local), _wrap(_decode_local)
+
+
+def tp_batch_cache_specs(cache: KVCache) -> KVCache:
+    """Cache specs for TP continuous batching: KV heads over "model", the
+    slot (batch) axis REPLICATED — slots are host-scheduled and ragged, so
+    data-parallel serving runs one batcher per replica rather than
+    sharding one batcher's slots."""
+    kv = P(None, None, "model", None, None)
+    return KVCache(
+        k=kv, v=kv,
+        k_scale=kv if cache.k_scale is not None else None,
+        v_scale=kv if cache.v_scale is not None else None,
+        lengths=P(), quantized=cache.quantized)
+
+
+def tp_batch_fns(params, cfg: ModelConfig, mesh: Mesh,
+                 qcfg: Optional[QuantConfig] = None, fused: bool = False):
+    """(chunk_prefill_fn, decode_all_fn) for ContinuousBatcher under
+    explicit shard_map TP — the two device programs of engine.batching
+    with tensor-parallel weights/KV (engine/batching.py:62-80 semantics).
+
+    chunk_prefill_fn(p, tokens, mini_cache, start, last_idx) -> (last, mini)
+    decode_all_fn(p, tokens, cache, active) -> (logits, cache)
+    """
+    n_model = int(mesh.shape["model"])
+    if not tp_supported(cfg, n_model):
+        raise ValueError(f"arch {cfg.arch} not TP-shardable over {n_model}")
+    lcfg = _local_cfg(cfg, n_model)
+    pspecs = tp_param_specs(params, n_model, fused)
+    vocab_sharded = "lm_head" in params
+    logits_spec = P(None, "model") if vocab_sharded else P(None, None)
+
+    def _chunk_local(p, tokens, mini, start, last_idx):
+        with tp_trace("model", n_model):
+            logits, mini = _forward_cached(p, lcfg, tokens, mini, start, qcfg)
+        last = jax.lax.dynamic_index_in_dim(logits, last_idx, axis=1,
+                                            keepdims=False)
+        return last, mini
+
+    def _decode_local(p, tokens, cache, active):
+        with tp_trace("model", n_model):
+            logits, cache = _forward_cached(p, lcfg, tokens, cache, None, qcfg)
+        cache = cache.replace(lengths=cache.lengths + active.astype(jnp.int32))
+        return logits[:, -1, :], cache
+
+    def _wrap(local_fn, extra_specs, donate):
+        jitted = None
+
+        def fn(p, tokens, cache, *extra):
+            nonlocal jitted
+            if jitted is None:
+                cspecs = tp_batch_cache_specs(cache)
+                sm = jax.shard_map(
+                    local_fn, mesh=mesh,
+                    in_specs=(pspecs, P(None, None), cspecs) + extra_specs,
+                    out_specs=(logits_spec, cspecs),
+                    check_vma=False,
+                )
+                jitted = jax.jit(sm, donate_argnums=donate)
+            return jitted(p, tokens, cache, *extra)
+
+        return fn
+
+    return (_wrap(_chunk_local, (P(), P()), (2,)),
+            _wrap(_decode_local, (P(),), (2,)))

@@ -78,6 +78,86 @@ def test_tp_packed_w4a8_matches_single_device():
     np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-3, atol=2e-3)
 
 
+def test_tp_sliding_window_arch_matches_single_device():
+    """gemma2 (sliding-window + softcaps, per-layer window scan data)
+    under shard_map TP (VERDICT r3 item 6a)."""
+    cfg = tiny_config("gemma2", dtype="float32")
+    assert tp_supported(cfg, 2)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    toks = np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (2, 8)).astype(np.int32)
+
+    ref_logits, ref_step = _reference(stack_model(
+        jax.tree_util.tree_map(lambda x: x, params)), cfg, None, toks, False)
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    sp = tp_shard_params(stack_model(params), cfg, mesh)
+    pre, dec = tp_serve_fns(sp, cfg, mesh, qcfg=None)
+    cache = tp_init_cache(cfg, mesh, 2, 16, quantized=False,
+                          dtype=jnp.float32)
+    logits, cache = pre(sp, jnp.asarray(toks), cache)
+    step, cache = dec(sp, jnp.asarray(toks[:, :1]), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_mpq_segmented_stack_matches_single_device():
+    """An MPQ 2-segment stack (two scan_segments runs) under shard_map TP
+    (VERDICT r3 item 6b)."""
+    from llm_compressor_tpu.qformats.config import register_4_to_8bit
+
+    cfg = tiny_config("llama", num_layers=4, dtype="float32")
+    qcfg = build_quant_config("int4-g[-1]-rw", "int8-g[-1]-rw", None, None)
+    qcfg = register_4_to_8bit(
+        qcfg, [f"layers.{i}.self_attn.q_proj.weight" for i in (0, 1)])
+    from llm_compressor_tpu.models.transformer import scan_segments
+    assert len(scan_segments(cfg, qcfg)) == 2
+
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    rtn(params, cfg, qcfg)
+    toks = np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (2, 6)).astype(np.int32)
+
+    ref_logits, ref_step = _reference(stack_model(
+        jax.tree_util.tree_map(lambda x: x, params)), cfg, qcfg, toks, True)
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    sp = tp_shard_params(stack_model(params), cfg, mesh)
+    pre, dec = tp_serve_fns(sp, cfg, mesh, qcfg=qcfg)
+    cache = tp_init_cache(cfg, mesh, 2, 16, quantized=True)
+    logits, cache = pre(sp, jnp.asarray(toks), cache)
+    step, cache = dec(sp, jnp.asarray(toks[:, :1]), cache)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_continuous_batching_matches_single_device():
+    """ContinuousBatcher admit + decode cycles under shard_map TP produce
+    the same tokens as the single-device batcher (VERDICT r3 item 6c)."""
+    from llm_compressor_tpu.engine.batching import ContinuousBatcher
+
+    cfg = tiny_config("llama", dtype="float32")
+    params = stack_model(init_params(cfg, jax.random.PRNGKey(6)))
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9)]
+
+    def run(p, tp_mesh=None):
+        eng = ContinuousBatcher(p, cfg, batch_slots=2, max_len=32,
+                                prefill_chunk=8, tp_mesh=tp_mesh)
+        for pr in prompts:
+            eng.submit(pr, max_new_tokens=4)
+        return eng.run()
+
+    ref = run(params)
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    sp = tp_shard_params(params, cfg, mesh)
+    out = run(sp, tp_mesh=mesh)
+    assert set(out) == set(ref)
+    for uid in ref:
+        np.testing.assert_array_equal(out[uid], ref[uid])
+
+
 def test_tp_rejects_plain_fused_and_indivisible():
     # BLOOM (ALiBi + fused QKV) is TP-shardable since round 4; only
     # non-divisible head counts reject.
