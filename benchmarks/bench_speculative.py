@@ -74,7 +74,7 @@ def main():
         t0 = time.perf_counter()
         hist, acc = generate_speculative(
             params, cfg, prompt, max_new_tokens=N, k_draft=K, qcfg=qcfg,
-            quantized_kv=True, max_len=T + N + K + 1)
+            quantized_kv=True)
         dt = time.perf_counter() - t0
         toks = sum(len(h) - prompt.shape[1] for h in hist)
         return toks / dt, acc

@@ -419,11 +419,18 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
         parts_keep.append(jnp.ones((B, 1), bool))
         parts_vs.append(vs)
     scores = jnp.concatenate(parts_s, axis=-1)              # (B,KV,r,S+W[+1])
-    scores = softcap(scores, cfg.attn_logit_softcapping)
-    keep = jnp.concatenate(parts_keep, axis=-1)             # (B, S+W[+1])
-    scores = jnp.where(keep[:, None, None, :], scores, NEG_INF)
-
-    probs = jax.nn.softmax(scores, axis=-1)
+    if "softmax" in ablate:   # benchmark ablation: raw scores as probs
+        probs = scores        # (keeps both dots + both requants + streams)
+    else:
+        scores = softcap(scores, cfg.attn_logit_softcapping)
+        keep = jnp.concatenate(parts_keep, axis=-1)         # (B, S+W[+1])
+        scores = jnp.where(keep[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+    if "pv" in ablate:        # benchmark ablation: skip PV requant + dot
+        out = probs[..., :D].astype(x.dtype)
+        out = out.reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), fresh
     vs_full = jnp.concatenate(parts_vs, axis=-1)            # (B, KV, 1, ·)
     pv = probs * vs_full
     pi, ps = _row_quant(pv)

@@ -12,14 +12,23 @@ One verify step scores K+1 positions in a single forward against the KV
 cache (T=K+1 decode with per-slot position offsets — the same jitted
 program every step):
 
-    draft   d_1..d_K        (host n-gram lookup, free)
+    draft   d_1..d_K        (n-gram lookup over the slot's history, free)
     forward [t, d_1..d_K] -> greedy g_0..g_K
     accept the longest prefix with d_{i+1} == g_i; emit g_0..g_a (a+1
     tokens); cache lengths advance by a+1 — K/V written for rejected
     positions sit beyond `lengths` where the causal mask hides them until
     overwritten.
 
-Greedy-exact: emitted tokens are identical to plain argmax decoding.
+Round 4: the ENTIRE loop runs on-device — drafting reads a device-side
+history buffer (draft_ngram_device) and ``speculative_rounds`` chains R
+draft+verify+accept+append rounds inside one lax.scan, so the ~25 ms
+tunnel dispatch RTT (exp_dispatch_const.py) is paid once per R rounds
+instead of once per verify (the round-3 host-loop version lost its A/B 8x
+exactly because of that per-round RTT).
+
+Greedy-exact: emitted tokens are identical to plain argmax decoding
+(acceptance only decides how MANY tokens commit per round, never their
+values).
 """
 
 from __future__ import annotations
@@ -59,6 +68,90 @@ def decode_verify_step(params, tokens, cache: KVCache, active, *,
     return greedy, accepted, cache
 
 
+def draft_ngram_device(hist, hlen, k: int, ngram: int = 2,
+                       min_hist: int = 4):
+    """In-graph prompt-lookup draft — the device twin of
+    :func:`propose_ngram` (equivalence-tested): for the longest gram size
+    g <= ngram, find the MOST RECENT earlier occurrence of the trailing
+    g-gram in ``hist[:hlen]`` and propose the k tokens that followed it
+    (padded with the last token past the history end); fall back to
+    shorter grams, then to repeating the last token.
+
+    hist (B, Hmax) int32, hlen (B,) int32 -> (B, k) int32. O(B * Hmax)
+    elementwise work — free next to a verify forward."""
+    B, Hmax = hist.shape
+    pos = jnp.arange(Hmax)[None, :]                       # (1, Hmax)
+    last = jnp.take_along_axis(hist, jnp.maximum(hlen - 1, 0)[:, None], 1)
+
+    drafts = jnp.broadcast_to(last, (B, k))               # g=0 fallback
+    found_any = jnp.zeros((B,), bool)
+    for g in range(1, ngram + 1):                         # longest g wins
+        # trailing g-gram, right-aligned: tail[:, j] = hist[hlen-g+j]
+        tidx = jnp.clip(hlen[:, None] - g + jnp.arange(g)[None, :], 0, Hmax - 1)
+        tail = jnp.take_along_axis(hist, tidx, 1)         # (B, g)
+        # match[s] = hist[s:s+g] == tail, for s in [0, Hmax-g)
+        S = Hmax - g
+        m = jnp.ones((B, S), bool)
+        for j in range(g):
+            m = m & (hist[:, j:S + j] == tail[:, j:j + 1])
+        valid = (pos[:, :S] + g) < hlen[:, None]          # s+g < len
+        m = m & valid & (hlen[:, None] >= max(min_hist, g + 1))
+        found = jnp.any(m, axis=1)                        # (B,)
+        best_s = jnp.argmax(jnp.where(m, pos[:, :S], -1), axis=1)  # recent
+        cidx = best_s[:, None] + g + jnp.arange(k)[None, :]
+        cont = jnp.take_along_axis(hist, jnp.clip(cidx, 0, Hmax - 1), 1)
+        cont = jnp.where(cidx < hlen[:, None], cont, last)  # pad w/ last
+        use = found[:, None]
+        drafts = jnp.where(use, cont, drafts)
+        found_any = found_any | found
+    return drafts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("rounds", "k", "ngram", "cfg", "qcfg"),
+         donate_argnums=(3,))
+def speculative_rounds(params, hist, hlen, cache: KVCache, active, *,
+                       rounds: int, k: int, ngram: int,
+                       cfg: ModelConfig, qcfg: Optional[QuantConfig] = None):
+    """``rounds`` draft+verify rounds inside ONE jit (lax.scan) — the same
+    dispatch-amortization trick as decode_greedy_steps (VERDICT r3 item 3:
+    the per-round host draft + device_get paid a full ~25 ms tunnel RTT
+    per verify, exp_dispatch_const.py; here R rounds cost one RTT).
+
+    Per round (greedy-exact): draft k tokens in-graph from the slot's own
+    on-device history (draft_ngram_device), verify [last | drafts] in one
+    T=k+1 forward, accept the longest matching prefix, append the
+    accepted+1 greedy tokens to ``hist`` and advance ``hlen``/cache
+    lengths (inactive slots are frozen). Returns
+    (hist, hlen, cache, accepted (rounds, B)). The host truncates at
+    EOS/max_new afterwards — buffers need rounds*(k+1) headroom."""
+    B, Hmax = hist.shape
+    b_idx = jnp.arange(B)[:, None]
+
+    def round_body(carry, _):
+        hist, hlen, cache = carry
+        drafts = draft_ngram_device(hist, hlen, k, ngram)
+        last = jnp.take_along_axis(hist, jnp.maximum(hlen - 1, 0)[:, None], 1)
+        toks = jnp.concatenate([last, drafts], axis=1)     # (B, k+1)
+        logits, cache = _forward_cached(params, cfg, toks, cache, None, qcfg)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        match = (toks[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+        accepted = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        adv = jnp.where(active, accepted + 1, 0).astype(jnp.int32)
+        # append greedy[0..accepted] at hlen (frozen slots write nothing)
+        idx = hlen[:, None] + jnp.arange(k + 1)[None, :]
+        keep = (jnp.arange(k + 1)[None, :] <= accepted[:, None]) \
+            & active[:, None] & (idx < Hmax)
+        idx = jnp.clip(idx, 0, Hmax - 1)
+        cur = jnp.take_along_axis(hist, idx, 1)
+        hist2 = hist.at[b_idx, idx].set(jnp.where(keep, greedy, cur))
+        cache = cache.replace(lengths=cache.lengths + adv)
+        return (hist2, hlen + adv, cache), accepted
+
+    (hist, hlen, cache), acc = jax.lax.scan(
+        round_body, (hist, hlen, cache), None, length=rounds)
+    return hist, hlen, cache, acc
+
+
 def propose_ngram(history: List[int], k: int, ngram: int = 2,
                   min_hist: int = 4) -> List[int]:
     """Prompt-lookup draft: find the most recent earlier occurrence of the
@@ -84,49 +177,72 @@ def generate_speculative(params, cfg: ModelConfig, prompt_tokens: np.ndarray,
                          qcfg: Optional[QuantConfig] = None,
                          quantized_kv: bool = False,
                          max_len: Optional[int] = None,
-                         ngram: int = 2):
+                         ngram: int = 2, rounds_per_dispatch: int = 8):
     """Greedy generation with prompt-lookup speculative decoding.
 
-    Returns (sequences (B, <=T+max_new) as a list of per-slot token lists
-    including the prompt, mean_accepted float — draft tokens accepted per
-    verify step, 0 <= a <= k_draft)."""
+    The whole draft -> verify -> accept -> history-append loop runs
+    ON-DEVICE: ``rounds_per_dispatch`` rounds execute per jitted dispatch
+    (speculative_rounds) and the host syncs ONCE per chunk — drafting
+    reads the device-side history, so nothing crosses the tunnel between
+    rounds (round 3 paid one ~25 ms RTT per verify round and lost its A/B
+    8x; VERDICT r3 item 3).
+
+    Returns (per-slot token lists including the prompt, mean_accepted
+    float — draft tokens accepted per verify round, 0 <= a <= k_draft)."""
     B, T = prompt_tokens.shape
-    # headroom: every verify step may write k_draft+1 positions
-    max_len = max_len or (T + max_new_tokens + k_draft + 1)
+    R = rounds_per_dispatch
+    # headroom: a chunk may overshoot max_new by R*(k+1) before the host
+    # truncates; every verify round writes k_draft+1 cache positions
+    slack = R * (k_draft + 1)
+    Hmax = T + max_new_tokens + slack + 1
+    # the cache must hold the chunk overshoot too — a smaller caller-given
+    # max_len would clip the verify scatters of the final chunk
+    max_len = max(max_len or 0, Hmax + k_draft + 1)
     cache = init_cache(cfg.num_layers, B, max_len, cfg.num_kv_heads,
                        cfg.head_dim, quantized=quantized_kv)
     logits, cache = prefill(params, jnp.asarray(prompt_tokens), cache,
                             cfg=cfg, qcfg=qcfg)
-    first = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    hist = [list(map(int, prompt_tokens[b])) + [int(first[b])]
-            for b in range(B)]
+    hist_dev = jnp.zeros((B, Hmax), jnp.int32)
+    hist_dev = jax.lax.dynamic_update_slice(
+        hist_dev, jnp.asarray(prompt_tokens, jnp.int32), (0, 0))
+    hist_dev = hist_dev.at[jnp.arange(B), T].set(first)
+    hlen = jnp.full((B,), T + 1, jnp.int32)
+
+    committed = [T + 1] * B        # host-side commit watermark per slot
+    hist = [list(map(int, prompt_tokens[b])) for b in range(B)]
+    first_np = np.asarray(first)
+    new_counts = [0] * B
     done = [False] * B
-    new_counts = [1] * B
-    acc_hist = []
+    acc_sum, acc_n = 0.0, 0
+
+    def _commit(b, t):
+        if done[b] or new_counts[b] >= max_new_tokens:
+            return
+        hist[b].append(int(t))
+        new_counts[b] += 1
+        if (eos_id is not None and int(t) == eos_id) or \
+                new_counts[b] >= max_new_tokens:
+            done[b] = True
+
+    for b in range(B):
+        _commit(b, first_np[b])
 
     while not all(done):
-        toks = np.zeros((B, 1 + k_draft), np.int32)
-        for b in range(B):
-            toks[b, 0] = hist[b][-1]
-            toks[b, 1:] = propose_ngram(hist[b], k_draft, ngram)
         active = jnp.asarray([not d for d in done])
-        greedy, accepted, cache = decode_verify_step(
-            params, jnp.asarray(toks), cache, active, cfg=cfg, qcfg=qcfg)
-        # ONE host sync per step: accept + length advance already ran
-        # on-device; the host only commits the emitted tokens.
-        greedy, accepted = jax.device_get((greedy, accepted))
+        hist_dev, hlen, cache, acc = speculative_rounds(
+            params, hist_dev, hlen, cache, active, rounds=R, k=k_draft,
+            ngram=ngram, cfg=cfg, qcfg=qcfg)
+        # ONE host sync per R rounds
+        hist_np, hlen_np, acc_np = jax.device_get((hist_dev, hlen, acc))
+        act_np = np.asarray([not d for d in done])
+        acc_sum += float(acc_np[:, act_np].sum())
+        acc_n += int(R * act_np.sum())
         for b in range(B):
             if done[b]:
-                continue  # frozen slot: nothing committed, lengths held
-            a = int(accepted[b])
-            for t in map(int, greedy[b, : a + 1]):
-                if done[b] or new_counts[b] >= max_new_tokens:
-                    break
-                hist[b].append(t)
-                new_counts[b] += 1
-                if (eos_id is not None and t == eos_id) or \
-                        new_counts[b] >= max_new_tokens:
-                    done[b] = True
-            acc_hist.append(a)
-    return hist, (float(np.mean(acc_hist)) if acc_hist else 0.0)
+                continue
+            for t in hist_np[b, committed[b]:int(hlen_np[b])]:
+                _commit(b, t)
+            committed[b] = int(hlen_np[b])
+    return hist, (acc_sum / acc_n if acc_n else 0.0)

@@ -97,6 +97,26 @@ def test_speculative_matches_greedy(qspec):
     assert 0.0 <= acc <= 3.0
 
 
+def test_device_draft_matches_host_proposer():
+    """draft_ngram_device (in-graph drafting, round-4) == propose_ngram
+    (host reference) across random histories, lengths and gram sizes."""
+    from llm_compressor_tpu.engine.speculative import draft_ngram_device
+
+    rng = np.random.default_rng(7)
+    Hmax, B, k = 24, 6, 4
+    for trial in range(8):
+        lens = rng.integers(1, Hmax - 1, B)
+        hist = rng.integers(0, 5, (B, Hmax)).astype(np.int32)  # small vocab
+        want = np.stack([
+            np.asarray(propose_ngram(list(map(int, hist[b, :lens[b]])), k),
+                       np.int32)
+            for b in range(B)])
+        got = np.asarray(draft_ngram_device(
+            jnp.asarray(hist), jnp.asarray(lens, jnp.int32), k))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"trial {trial} lens={lens}")
+
+
 def test_speculative_accepts_on_repetitive_text():
     """On a cyclic prompt a tiny random model loops; prompt-lookup drafts
     should be accepted (mean acceptance > 0)."""
