@@ -216,13 +216,12 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
         scores = s32.astype(jnp.float32) * qs * ksc * eff_scale
         scores = softcap(scores, cfg.attn_logit_softcapping)
         scores = scores + mask[:, None]       # (B, T=1, S) -> (B, 1, 1, S)
-        probs = jax.nn.softmax(scores, axis=-1)
-        pv = probs * vsc                      # fold v scales into probs
-        pi, ps = _row_quant(pv)
+        # same slimmed epilogue as the fresh path (softcap already applied)
+        pis, oscale = _i8_softmax_requant([scores], [vsc], None)
         o32 = jax.lax.dot_general(            # (B, KV, r, D) int8 MXU
-            pi, Vc, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            pis[0], Vc, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.int32)
-        out = (o32.astype(jnp.float32) * ps).astype(x.dtype)
+        out = (o32.astype(jnp.float32) * oscale).astype(x.dtype)
         out = out.reshape(B, T, H * D)        # head order h = kv*r + j
         return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
                        slot="o"), cache
@@ -334,13 +333,54 @@ def _cached_layer(lp, cfg: ModelConfig, layer_idx: int, x, positions, cache,
 # READ-ONLY: the current token's K/V stay in registers, previous steps of
 # this call live in a small FreshKV block written at the uniform scan-step
 # lane (in-place dynamic_update_slice), and ONE merge scatter lands
-# everything after the scan. int8-codes math throughout — softmax over the
-# concatenated [main | fresh | current] scores and int32 partial-dot sums
-# make the outputs BITWISE equal to the carried-cache path.
+# everything after the scan. int8-codes math throughout — the two-part
+# [main | fresh] attention epilogue (_i8_softmax_requant) and int32
+# partial-dot sums keep tokens and cache CODES bitwise equal to the
+# carried-cache path; f32 scales agree to rounding-order ulps (the
+# two-part reductions associate differently than one full window —
+# tests/test_greedy_steps.py pins both).
 # ---------------------------------------------------------------------------
 
 
 NEG_INF = -1e9
+
+
+def _i8_softmax_requant(parts_s, parts_vs, softcap_val, ablate=()):
+    """Shared int8-codes attention epilogue: per-part masked scores ->
+    (per-part int8 prob codes, combined output scale (..., 1)).
+
+    Flash-style EXACT two-pass softmax with the normalization folded into
+    the output scale (round-4 slimming, VERDICT r3 item 2): with
+    e = exp(s - rowmax) UNNORMALIZED, w = e * v_scale, and the int8 row
+    quantizer a = rowmax(w)/127, the softmax denominator cancels inside
+    round(w/a) — so the (B, KV, r, S) arrays never round-trip HBM for a
+    concat, a divide, or a separate abs/absmax pass:
+
+        probs_i8 = round((e*vs) / (max(e*vs)/127))        per part
+        out      = (sum_parts dotv(probs_i8, V)) * a / rowsum(e)
+
+    Keeping the window parts separate (main | fresh) also removes the
+    score/prob concatenation round-trips of the previous implementation
+    (~9.4 MB/layer at the bench shape). Values identical to the explicit
+    softmax-then-quantize path up to f32 rounding-order (1 ulp class);
+    tokens unchanged (experiments/exp_attn_budget_slim.log A/B)."""
+    capped = [softcap(s, softcap_val) for s in parts_s]
+    if "softmax" in ablate:   # benchmark ablation: raw scores as "e"
+        es = capped
+    else:
+        m_row = capped[0].max(axis=-1, keepdims=True)
+        for s in capped[1:]:
+            m_row = jnp.maximum(m_row, s.max(axis=-1, keepdims=True))
+        es = [jnp.exp(s - m_row) for s in capped]
+    sum_row = sum(e.sum(axis=-1, keepdims=True) for e in es)
+    ws = [e * vs for e, vs in zip(es, parts_vs)]
+    a_row = ws[0].max(axis=-1, keepdims=True)
+    for w in ws[1:]:
+        a_row = jnp.maximum(a_row, w.max(axis=-1, keepdims=True))
+    a_row = jnp.maximum(a_row / 127.0, 1e-8)
+    pis = [jnp.clip(jnp.round(w / a_row), -127, 127).astype(jnp.int8)
+           for w in ws]
+    return pis, a_row / sum_row
 
 
 def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
@@ -414,33 +454,29 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     parts_s = [s_m, s_f]
     parts_keep = [keep_m, keep_f]
     parts_vs = [vsm, vsf]
+    parts_v = [Vm, Vf]
     if not appended:
         parts_s.append(dots(qi, kc).astype(jnp.float32) * qs * ks * eff)
         parts_keep.append(jnp.ones((B, 1), bool))
         parts_vs.append(vs)
-    scores = jnp.concatenate(parts_s, axis=-1)              # (B,KV,r,S+W[+1])
-    if "softmax" in ablate:   # benchmark ablation: raw scores as probs
-        probs = scores        # (keeps both dots + both requants + streams)
-    else:
-        scores = softcap(scores, cfg.attn_logit_softcapping)
-        keep = jnp.concatenate(parts_keep, axis=-1)         # (B, S+W[+1])
-        scores = jnp.where(keep[:, None, None, :], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-    if "pv" in ablate:        # benchmark ablation: skip PV requant + dot
-        out = probs[..., :D].astype(x.dtype)
+        parts_v.append(vc)
+    if "softmax" not in ablate:
+        parts_s = [jnp.where(k[:, None, None, :], s, NEG_INF)
+                   for s, k in zip(parts_s, parts_keep)]
+    pis, oscale = _i8_softmax_requant(parts_s, parts_vs,
+                                      cfg.attn_logit_softcapping, ablate)
+    if "pv" in ablate:        # benchmark ablation: skip the PV dots
+        out = (pis[0][..., :D].astype(jnp.float32) * oscale).astype(x.dtype)
         out = out.reshape(B, T, H * D)
         return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
                        slot="o"), fresh
-    vs_full = jnp.concatenate(parts_vs, axis=-1)            # (B, KV, 1, ·)
-    pv = probs * vs_full
-    pi, ps = _row_quant(pv)
     dotv = lambda a, b: jax.lax.dot_general(      # (B,KV,r,S).(B,KV,D,S)
         a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)
-    o32 = dotv(pi[..., :S], Vm) + dotv(pi[..., S:S + W], Vf)
+    o32 = dotv(pis[0], Vm) + dotv(pis[1], Vf)
     if not appended:
-        o32 = o32 + dotv(pi[..., S + W:], vc)               # int32: exact sum
-    out = (o32.astype(jnp.float32) * ps).astype(x.dtype)
+        o32 = o32 + dotv(pis[2], vc)                        # int32: exact sum
+    out = (o32.astype(jnp.float32) * oscale).astype(x.dtype)
     out = out.reshape(B, T, H * D)            # head order h = kv*r + j
     return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
                    slot="o"), fresh
@@ -670,8 +706,9 @@ def decode_greedy_steps(params, token, cache: KVCache, *, n: int,
     per-token attention acts) the steps run on the FRESH-BLOCK path: the
     main cache is read-only inside the scan (new tokens accumulate in a
     small FreshKV block, merged once at the end) — bitwise the same tokens
-    and final cache, ~2.8x faster at batch 128 (the per-step scatter into
-    the carried cache made XLA copy-protect the buffers; see
+    and cache codes (f32 cache scales agree to rounding-order ulps),
+    ~2.8x faster at batch 128 (the per-step scatter into the carried
+    cache made XLA copy-protect the buffers; see
     experiments/exp_decode_budget.py)."""
     if fresh_path_ok(params, cfg, cache, qcfg):
         len0 = cache.lengths

@@ -151,8 +151,9 @@ def append_decode(cache: KVCache, layer: int, k, v, positions) -> KVCache:
 class FreshKV:
     """Per-decode-call K/V accumulator: (L, B, KV, D, W) with the scan step
     on the lane dim; int8 codes + per-(token, head) scales when quantized
-    (identical `_quant_i8` values as the main cache, so the post-scan merge
-    is bitwise the same as per-step appends)."""
+    (the same `_quant_i8` computation as a per-step append would store —
+    codes bitwise equal; the f32 scales agree to rounding-order ulps, see
+    generate.py's fresh-block notes)."""
     k: jnp.ndarray
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray]

@@ -58,18 +58,24 @@ def test_fresh_path_matches_per_step_decode(packed):
         slow.append(np.asarray(tok[:, 0]))
 
     np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
-    # merged cache: BITWISE equal codes AND scales over the full written
-    # window (prefill prefix + the n decoded positions) — the fresh path's
-    # _quant_i8 + merge scatter must reproduce per-step appends exactly
-    # (generate.py fresh-block contract, kvcache.py FreshKV docstring)
+    # merged cache over the full written window (prefill prefix + the n
+    # decoded positions): int8 CODES bitwise equal; scales equal to f32
+    # ulps (the slimmed attention epilogue's reduction order differs
+    # between the [main|fresh] two-part path and the carried single-window
+    # path — generate.py fresh-block contract, _i8_softmax_requant)
     np.testing.assert_array_equal(np.asarray(fast_cache.lengths),
                                   np.asarray(cache.lengths))
     w = slice(0, toks.shape[1] + n)  # prefill prefix + decoded positions
-    for name in ("k", "v", "k_scale", "v_scale"):
+    for name in ("k", "v"):
         np.testing.assert_array_equal(
             np.asarray(getattr(fast_cache, name))[..., w],
             np.asarray(getattr(cache, name))[..., w],
-            err_msg=f"fresh-path merged cache.{name} not bitwise equal")
+            err_msg=f"fresh-path merged cache.{name} codes not bitwise equal")
+    for name in ("k_scale", "v_scale"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fast_cache, name))[..., w],
+            np.asarray(getattr(cache, name))[..., w], rtol=1e-6,
+            err_msg=f"fresh-path merged cache.{name} beyond f32-ulp")
 
 
 def test_scan_unroll_is_bitwise_neutral():
