@@ -159,6 +159,85 @@ def main():
         pis, osc = _i8_softmax_requant([s], [vscat], None)
         return dotv(pis[0], vcat).astype(jnp.float32) * osc
 
+    from llm_compressor_tpu.kernels.decode_attention import decode_attention
+
+    def pallas2(li, q, w, bufs):
+        kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
+        return decode_attention(q, kc, vc, ks, vs, li, len0, len0 + t, w, t,
+                                fresh=(kf, vf, ksf, vsf), scale=scale)
+
+    def make_pallas_carry(write_lane: bool):
+        """ENGINE-structured: fresh buffers as a scan CARRY, optionally a
+        per-layer DUS write before the kernel reads them (the serving
+        decode's exact dataflow) — detects XLA copy-protection of custom-
+        call operands that are also updated in the loop."""
+        @jax.jit
+        def run(q, w, bufs):
+            kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
+
+            def outer(i, carry):
+                q, kf, vf, ksf, vsf = carry
+
+                def layer(c, li):
+                    q, kf, vf, ksf, vsf = c
+                    if write_lane:
+                        idx = (li, 0, 0, 0, t)
+                        kf = jax.lax.dynamic_update_slice(
+                            kf, kf[:1, :, :, :, :1] ^ 1, idx)
+                        vf = jax.lax.dynamic_update_slice(
+                            vf, vf[:1, :, :, :, :1] ^ 1, idx)
+                    o = decode_attention(q, kc, vc, ks, vs, li, len0,
+                                         len0 + t, w, t,
+                                         fresh=(kf, vf, ksf, vsf),
+                                         scale=scale)
+                    q = (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype)
+                    return (q, kf, vf, ksf, vsf), None
+
+                c, _ = jax.lax.scan(layer, carry, jnp.arange(L))
+                return c
+
+            q, *_ = jax.lax.fori_loop(0, args.outer, outer,
+                                      (q, kf, vf, ksf, vsf))
+            return q
+
+        return lambda q, w: run(q, w, bufs0)
+
+    from llm_compressor_tpu.kernels.decode_attention import fresh_write
+
+    def make_pallas_update(alias=True):
+        """Fused write+attend kernel with fresh buffers as scan carry and
+        input_output_aliases — the engine's round-4 serving structure.
+        alias=False is a TIMING-ONLY probe (wrong values)."""
+        @jax.jit
+        def run(q, w, bufs):
+            kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
+
+            def outer(i, carry):
+                q, kf, vf, ksf, vsf = carry
+
+                def layer(c, li):
+                    q, kf, vf, ksf, vsf = c
+                    nk = jnp.clip(jnp.round(
+                        jnp.swapaxes(q[:, :, :1, :], 2, 3) * 8), -127, 127
+                    ).astype(jnp.int8)                  # (B, KV, D, 1)
+                    nks = jnp.abs(q[:, :, :1, :1]) * .01 + 1e-4
+                    kf, vf, ksf, vsf = fresh_write(
+                        (kf, vf, ksf, vsf), (nk, nk, nks, nks), li, t)
+                    o = decode_attention(
+                        q, kc, vc, ks, vs, li, len0, len0 + t, w, t,
+                        fresh=(kf, vf, ksf, vsf), scale=scale)
+                    q = (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype)
+                    return (q, kf, vf, ksf, vsf), None
+
+                c, _ = jax.lax.scan(layer, carry, jnp.arange(L))
+                return c
+
+            q, *_ = jax.lax.fori_loop(0, args.outer, outer,
+                                      (q, kf, vf, ksf, vsf))
+            return q
+
+        return lambda q, w: run(q, w, bufs0)
+
     bufs0 = (kc, vc, ks, vs, kf, vf, ksf, vsf)
 
     def make(fn, **kw):
@@ -192,10 +271,18 @@ def main():
     rtt = min(rtts)
     print(f"rtt {rtt:.1f} ms", flush=True)
 
+    only = os.environ.get("ATTN_FRESH_ONLY", "")
     variants = {"single": make(single), "fresh2": make(fresh2),
                 "fresh2sw": make(fresh2, static_w=True),
                 "fresh2bf16": make(fresh2_bf16),
-                "freshcat": make(freshcat)}
+                "freshcat": make(freshcat),
+                "pallas2": make(pallas2),
+                "pallas2_carry": make_pallas_carry(False),
+                "pallas2_write": make_pallas_carry(True),
+                "pallas3_update": make_pallas_update()}
+    if only:
+        keep = only.split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
     nb = args.outer * L * (2 * B * KV * D * (S + W) + 2 * B * KV * (S + W) * 4)
     w0 = jnp.int32(0)
     out = {"rtt_ms": round(rtt, 1)}

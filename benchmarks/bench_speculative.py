@@ -115,6 +115,58 @@ def main():
         out[f"mean_accept_{tag}"] = round(acc, 2)
         out[f"spec_vs_scan_{tag}"] = round(tps_spec / tps_scan, 3)
 
+    # Genuinely-repetitive workload: a random-init flagship with 128k
+    # vocab essentially never emits a repeated n-gram (mean accept ~0
+    # above — drafts can't help ANY drafting scheme there). A small-vocab
+    # random-init model falls into greedy cycles within a few tokens —
+    # the honest stand-in for the repetitive/structured text (code edits,
+    # extraction, quoted chat) prompt-lookup is built for.
+    import dataclasses
+
+    svcfg = dataclasses.replace(cfg, vocab_size=512)
+    svparams = init_params(svcfg, jax.random.PRNGKey(3))
+    rtn(svparams, svcfg, qcfg)
+    pack_model(svparams, svcfg, qcfg)
+    svparams = stack_model(fuse_model(svparams, svcfg, qcfg))
+
+    def run_spec_sv(prompt):
+        t0 = time.perf_counter()
+        hist, acc = generate_speculative(
+            svparams, svcfg, prompt, max_new_tokens=N, k_draft=K,
+            qcfg=qcfg, quantized_kv=True)
+        dt = time.perf_counter() - t0
+        toks = sum(len(h) - prompt.shape[1] for h in hist)
+        return toks / dt, acc
+
+    def run_scan_sv(prompt):
+        max_len = -(-(T + N + 1) // 128) * 128
+        cache = init_cache(svcfg.num_layers, B, max_len, svcfg.num_kv_heads,
+                           svcfg.head_dim, quantized=True)
+        logits, cache = prefill(svparams, jnp.asarray(prompt), cache,
+                                cfg=svcfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        t0 = time.perf_counter()
+        done = 0
+        while done < N:
+            n = min(32, N - done)
+            toks, cache = decode_greedy_steps(svparams, tok, cache, n=n,
+                                              cfg=svcfg, qcfg=qcfg)
+            tok = toks[:, -1:]
+            done += n
+        jax.device_get(tok)
+        return B * N / (time.perf_counter() - t0)
+
+    svp = rng.integers(0, svcfg.vocab_size, (B, T)).astype(np.int32)
+    run_spec_sv(svp)   # compile warmup
+    run_scan_sv(svp)
+    svp2 = ((svp + 5) % svcfg.vocab_size).astype(np.int32)
+    tps_spec, acc = run_spec_sv(svp2)
+    tps_scan = run_scan_sv(((svp2 + 3) % svcfg.vocab_size).astype(np.int32))
+    out["spec_tps_loopy"] = round(tps_spec, 1)
+    out["scan_tps_loopy"] = round(tps_scan, 1)
+    out["mean_accept_loopy"] = round(acc, 2)
+    out["spec_vs_scan_loopy"] = round(tps_spec / tps_scan, 3)
+
     print(json.dumps(out))
 
 

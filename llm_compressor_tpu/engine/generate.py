@@ -99,6 +99,22 @@ def acts_mode(qk_op, sv_op):
     return None
 
 
+def _attn_kernel_ok(cfg: ModelConfig, S: int, ablate=()) -> bool:
+    """Static gate for the fused Pallas decode-attention kernel
+    (kernels/decode_attention.py): engages on the int8-codes decode paths
+    unless a benchmark ablation needs the decomposable XLA epilogue or the
+    trace is inside a shard_map TP body (the XLA path handles TP's local
+    shapes; kernel-under-shard_map is future work)."""
+    from ..kernels.decode_attention import supported
+    from ..models.layers import _TP
+
+    if _TP["axis"] is not None:
+        return False
+    if {"attn", "append", "softmax", "pv"} & set(ablate):
+        return False
+    return supported(cfg, S)
+
+
 def _project_qkv(lp, cfg: ModelConfig, x, ops: Optional[LayerOps], cos, sin):
     """QKV projection + q/k norms + rope for a (B, T, E) slice ->
     q (B, T, H, D), k/v (B, T, KV, D). Shared by the carried-cache path and
@@ -209,6 +225,20 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
             eff_scale = 1.0
         else:
             eff_scale = scale
+        if _attn_kernel_ok(cfg, cache.max_len, ablate):
+            # fused Pallas kernel straight off the FULL cache buffers
+            # (scalar-prefetch layer indexing — no per-layer slice)
+            from ..kernels.decode_attention import decode_attention
+
+            pos = positions[:, 0]             # (B,) current abs position
+            w_ = window if window is not None else jnp.int32(0)
+            out4 = decode_attention(
+                q4, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                layer_idx, pos + 1, pos, w_, 0, fresh=None,
+                scale=eff_scale, softcap=cfg.attn_logit_softcapping)
+            out = out4.astype(x.dtype).reshape(B, T, H * D)
+            return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"),
+                           g("o"), slot="o"), cache
         qi, qs = _row_quant(q4)
         s32 = jax.lax.dot_general(            # (B, KV, r, S) int8 MXU
             qi, Kc, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
@@ -402,7 +432,8 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     # an append would store — the merge is bitwise the same)
     kc, ks = _quant_i8(k)                    # (B, KV, D, 1), (B, KV, 1, 1)
     vc, vs = _quant_i8(v)
-    if "append" not in ablate:
+    use_kernel = _attn_kernel_ok(cfg, cache.max_len, ablate)
+    if "append" not in ablate and not use_kernel:
         fresh = write_fresh(fresh, layer_idx, t, kc, vc, ks, vs)
 
     if "attn" in ablate:  # benchmark ablation: skip the attention core
@@ -416,6 +447,36 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
         eff = 1.0
     else:
         eff = cfg.attn_scale
+
+    if use_kernel:
+        # Pallas fast path, TWO kernels per layer. (1) fresh_write: the
+        # new token's codes merge into the FreshKV layer slice through
+        # input_output_aliases — an XLA DUS feeding an opaque custom call
+        # made XLA copy-protect the whole FreshKV set every layer
+        # (~525 us/layer measured), and fusing the write into the
+        # attention kernel's per-program aliased blocks serialized its
+        # grid pipeline (~96 us/call at any W) — benchmarks/
+        # bench_attention_fresh.py. (2) decode_attention: two-part
+        # [main | fresh] attention off the FULL buffers; the XLA two-part
+        # epilogue loses its softmax fusion to the cross-part max/sum
+        # coupling (~2x single-window cost) while in-VMEM score tiles
+        # make the split free.
+        from ..kernels.decode_attention import decode_attention, fresh_write
+
+        kfo, vfo, ksfo, vsfo = fresh_write(
+            (fresh.k, fresh.v, fresh.k_scale, fresh.v_scale),
+            (kc, vc, ks, vs), layer_idx, t)
+        fresh = fresh.replace(k=kfo, v=vfo, k_scale=ksfo, v_scale=vsfo)
+        pos = len0 + t
+        w_ = window if window is not None else jnp.int32(0)
+        out4 = decode_attention(
+            q4, cache.k, cache.v, cache.k_scale, cache.v_scale, layer_idx,
+            len0, pos, w_, t,
+            fresh=(fresh.k, fresh.v, fresh.k_scale, fresh.v_scale),
+            scale=eff, softcap=cfg.attn_logit_softcapping)
+        out = out4.astype(x.dtype).reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), fresh
 
     def _row_quant(tns):
         absmax = jnp.max(jnp.abs(tns), axis=-1, keepdims=True)

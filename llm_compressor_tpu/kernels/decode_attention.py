@@ -1,0 +1,325 @@
+"""Fused int8-KV decode attention — Pallas kernel with fresh-block support.
+
+Round-4 re-promotion of the archived kernel (benchmarks/
+pallas_decode_attention.py, removed in round 3 after an A/B measured ~5%
+behind the XLA int8-codes path). Two things changed:
+
+1. The round-3 A/B was contaminated by the ~25 ms/dispatch tunnel RTT
+   (experiments/exp_dispatch_const.py). RTT-corrected, the kernel ties the
+   SINGLE-window XLA path at ~stream rate (~590 GB/s at b128/S256).
+2. The serving decode path is no longer single-window: the fresh-block
+   scan attends over [read-only main cache | FreshKV block], and the
+   cross-part max/sum coupling of the two-part softmax breaks XLA's
+   fusion — every fresh-structure XLA variant measured ~300 GB/s vs ~590
+   single-window (benchmarks/bench_attention_fresh.py: fresh2/fresh2sw/
+   fresh2bf16/freshcat all ~2x slower; the score arrays round-trip HBM
+   once per coupled reduction). Inside one Pallas program the scores
+   live in VMEM, so the two-part epilogue costs nothing extra.
+
+Math: identical to engine.generate's int8-codes attention with the slim
+epilogue (_i8_softmax_requant): per-row int8 quant of q, int8 x int8 MXU
+dots on the stored codes, exact two-pass softmax with the normalization
+folded into the output scale:
+
+    e_p  = exp(s_p - m),  m = max over all parts
+    w_p  = e_p * v_scale_p
+    a    = max(max_p w_p) / 127          (clamped at 1e-8)
+    pi_p = round(w_p / a)  in int8
+    out  = (sum_p pi_p . V_p) * a / sum_p(sum(e_p))
+
+Layout (engine/kvcache.py): main codes (L, B, KV, D, S) int8, sequence on
+the LANE dim; scales (L, B, KV, 1, S) f32; fresh block (L, B, KV, D, W).
+The layer index, per-slot lengths/window-positions, window size and scan
+step ride as scalar prefetch — the kernel DMAs straight out of the full
+cache buffers (no per-layer slice copy) and one compiled kernel serves
+every layer and step of the decode scan.
+
+Grid: (B/TB,) — one program streams a (TB, KV, D, S) block (the natural
+cache-layout slice, one dense DMA) and runs each slot's KV heads as
+KV-batched MXU dots in VMEM. A (B, KV) grid (round 2) paid ~0.9 ms/layer
+in per-program overheads; TB adapts to the VMEM budget.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _row_quant_i8(x):
+    """(KV, r, S) f32 -> int8 codes + per-row scale. Restrictive range
+    +-127, round-half-even (qformats int8 semantics)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _slot_attention(q, parts, *, scale, softcap):
+    """One slot, all KV heads. ``parts`` = [(k, v, ks, vs, keep), ...] with
+    k/v (KV, D, Sp) int8, ks/vs (KV, 1, Sp) f32, keep (1, 1, Sp) bool.
+    Returns (KV, r, D) f32. Slim epilogue == _i8_softmax_requant."""
+    qi, qs = _row_quant_i8(q)                       # (KV, r, D) int8
+
+    ss = []
+    for (k, _v, ks, _vs, keep) in parts:
+        s32 = jax.lax.dot_general(                  # (KV, r, Sp) int8 MXU
+            qi, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * qs * ks * scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        ss.append(jnp.where(keep, s, NEG_INF))
+
+    m = ss[0].max(axis=-1, keepdims=True)
+    for s in ss[1:]:
+        m = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+    es = [jnp.exp(s - m) for s in ss]
+    sum_row = es[0].sum(axis=-1, keepdims=True)
+    for e in es[1:]:
+        sum_row = sum_row + e.sum(axis=-1, keepdims=True)
+    ws = [e * vs for e, (_k, _v, _ks, vs, _keep) in zip(es, parts)]
+    a = ws[0].max(axis=-1, keepdims=True)
+    for w in ws[1:]:
+        a = jnp.maximum(a, w.max(axis=-1, keepdims=True))
+    a = jnp.maximum(a / 127.0, 1e-8)
+
+    o32 = None
+    for w, (_k, v, _ks, _vs, _keep) in zip(ws, parts):
+        pi = jnp.clip(jnp.round(w / a), -127, 127).astype(jnp.int8)
+        d = jax.lax.dot_general(                    # (KV, r, D) int8 MXU
+            pi, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        o32 = d if o32 is None else o32 + d
+    return o32.astype(jnp.float32) * (a / sum_row)
+
+
+def _kernel(layer_ref, mlen_ref, pos_ref, wt_ref, q_ref, k_ref, v_ref,
+            ks_ref, vs_ref, *rest, tb: int, scale: float, softcap,
+            has_fresh: bool):
+    """wt_ref (2,) = [window, t]; ``rest`` = (*fresh_refs, o_ref) — the
+    four fresh refs precede the output ref when has_fresh."""
+    o_ref = rest[-1]
+    i = pl.program_id(0)
+    w = wt_ref[0]
+    t = wt_ref[1]
+    if has_fresh:
+        kf_ref, vf_ref, ksf_ref, vsf_ref = rest[:-1]
+        W = kf_ref.shape[-1]
+    S = k_ref.shape[-1]
+
+    for sl in range(tb):
+        b = i * tb + sl
+        mlen = mlen_ref[b]
+        pos = pos_ref[b]
+        s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        keep_m = (s_ids < mlen) & ((w <= 0) | (s_ids > pos - w))
+        parts = [(k_ref[0, sl], v_ref[0, sl], ks_ref[0, sl], vs_ref[0, sl],
+                  keep_m)]
+        if has_fresh:
+            f_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+            base = mlen  # fresh lane j sits at absolute position mlen + j
+            keep_f = (f_ids <= t) & ((w <= 0) | ((base + f_ids) > pos - w))
+            parts.append((kf_ref[0, sl], vf_ref[0, sl], ksf_ref[0, sl],
+                          vsf_ref[0, sl], keep_f))
+        out = _slot_attention(q_ref[sl].astype(jnp.float32), parts,
+                              scale=scale, softcap=softcap)
+        o_ref[sl] = out.astype(o_ref.dtype)
+
+
+def _kernel_write(layer_ref, t_ref, kf_ref, vf_ref, ksf_ref, vsf_ref,
+                  nk_ref, nv_ref, nks_ref, nvs_ref,
+                  kfo_ref, vfo_ref, ksfo_ref, vsfo_ref):
+    """Merge the new token's codes/scales at lane ``t`` of layer
+    ``layer``'s fresh slice (single-program grid; outputs alias inputs).
+    Mosaic cannot write a 1-lane block (lane blocks must be 128-divisible
+    or full), so the whole (1, B, KV, D|1, W) layer slice is read, merged
+    with a masked select, and written back (~9 MB r/w at the bench shape,
+    ~14 us — vs ~260 us/layer of XLA copy-protection when a DUS-written
+    buffer feeds an opaque custom call)."""
+    t = t_ref[0]
+    W = kf_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
+    kfo_ref[0] = jnp.where(lane == t, nk_ref[...], kf_ref[0])
+    vfo_ref[0] = jnp.where(lane == t, nv_ref[...], vf_ref[0])
+    ksfo_ref[0] = jnp.where(lane == t, nks_ref[...], ksf_ref[0])
+    vsfo_ref[0] = jnp.where(lane == t, nvs_ref[...], vsf_ref[0])
+
+
+@jax.jit
+def _call_write(layer, t, kf, vf, ksf, vsf, nk, nv, nks, nvs):
+    L, B, KV, D, W = kf.shape
+    interpret = jax.default_backend() != "tpu"
+
+    def blk(dim3):
+        # index maps receive (grid_idx, *scalar_refs)
+        return pl.BlockSpec((1, B, KV, dim3, W),
+                            lambda g, l, tt: (l[0], 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def blk_new(dim3):
+        return pl.BlockSpec((B, KV, dim3, 1), lambda g, l, tt: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # layer, t
+        grid=(1,),
+        in_specs=[blk(D), blk(D), blk(1), blk(1),
+                  blk_new(D), blk_new(D), blk_new(1), blk_new(1)],
+        out_specs=(blk(D), blk(D), blk(1), blk(1)),
+    )
+    return pl.pallas_call(
+        _kernel_write,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in (kf, vf, ksf, vsf)),
+        # flat-leaf indices including the 2 scalar operands: kf=2 .. vsf=5
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * 2 * B * KV * (D + 4) * W,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(),
+      jnp.asarray([t], jnp.int32).ravel(),
+      kf, vf, ksf, vsf, nk, nv, nks, nvs)
+
+
+def fresh_write(fresh, new_kv, layer, t):
+    """In-place (aliased) write of one token's K/V into the FreshKV
+    buffers at (layer, lane t). ``fresh`` = (kf, vf, ksf, vsf);
+    ``new_kv`` = codes (B, KV, D, 1) int8 + scales (B, KV, 1, 1) f32.
+    Returns the updated 4-tuple."""
+    kf, vf, ksf, vsf = fresh
+    nk, nv, nks, nvs = new_kv
+    return _call_write(jnp.asarray(layer, jnp.int32),
+                       jnp.asarray(t, jnp.int32), kf, vf, ksf, vsf,
+                       nk, nv, nks, nvs)
+
+
+def _pick_tb(B: int, KV: int, D: int, S: int, W: int,
+             budget=4 * 1024 * 1024) -> int:
+    per_slot = KV * ((2 * D + 8) * (S + W))
+    for tb in (8, 4, 2, 1):
+        if B % tb == 0 and tb * per_slot <= budget:
+            return tb
+    return 1
+
+
+@partial(jax.jit, static_argnames=("scale", "softcap", "has_fresh",
+                                   "out_dtype"))
+def _call(layer, mlen, pos, wt, q, kc, vc, ks, vs, fresh_bufs, *, scale,
+          softcap, has_fresh, out_dtype):
+    B, KV, r, D = q.shape
+    S = kc.shape[-1]
+    W = fresh_bufs[0].shape[-1] if has_fresh else 0
+    tb = _pick_tb(B, KV, D, S, W)
+    interpret = jax.default_backend() != "tpu"
+
+    main_specs = [
+        pl.BlockSpec((tb, KV, r, D), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, D, S), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, D, S), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, 1, S), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, 1, S), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    fresh_specs = [
+        pl.BlockSpec((1, tb, KV, D, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, D, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, 1, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, KV, 1, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] if has_fresh else []
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # layer, mlen, pos, [window, t]
+        grid=(B // tb,),
+        in_specs=main_specs + fresh_specs,
+        out_specs=pl.BlockSpec((tb, KV, r, D), lambda i, *_: (i, 0, 0, 0)),
+    )
+    nbytes = (2 * B * KV * (D + 4) * S
+              + (2 * B * KV * (D + 4) * W if has_fresh else 0))
+    return pl.pallas_call(
+        partial(_kernel, tb=tb, scale=scale, softcap=softcap,
+                has_fresh=has_fresh),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, r, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KV * r * (S + W) * D,
+            bytes_accessed=nbytes,
+            transcendentals=B * KV * r * (S + W),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(), mlen, pos,
+      wt, q, kc, vc, ks, vs, *fresh_bufs)
+
+
+def decode_attention(q, cache_k, cache_v, k_scale, v_scale, layer, main_len,
+                     pos, window, t=0, fresh=None, *, scale: float,
+                     softcap=None, out_dtype=jnp.float32):
+    """q (B, KV, r, D) -> attention output (B, KV, r, D) f32.
+
+    ``cache_*``: (L, B, KV, D, S) int8 codes + (L, B, KV, 1, S) f32 scales.
+    ``main_len`` (B,): main lanes s < main_len attend. ``pos`` (B,): the
+    current token's absolute position (window mask: s > pos - window).
+    ``fresh``: optional (kf, vf, ksf, vsf) FreshKV buffers (L, B, KV, D, W)
+    — fresh lane j attends for j <= ``t``. ``layer``/``window``/``t`` may
+    be traced scalars (scan data)."""
+    wt = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
+                    jnp.asarray(t, jnp.int32).reshape(())])
+    return _call(jnp.asarray(layer, jnp.int32), main_len.astype(jnp.int32),
+                 pos.astype(jnp.int32), wt, q, cache_k, cache_v,
+                 k_scale, v_scale, tuple(fresh) if fresh is not None else (),
+                 scale=float(scale),
+                 softcap=None if softcap is None else float(softcap),
+                 has_fresh=fresh is not None, out_dtype=out_dtype)
+
+
+def supported(cfg, S: int) -> bool:
+    """Kernel shape gate for single-token decode on an int8 cache; ALiBi
+    (BLOOM) stays on the XLA path.
+
+    OFF BY DEFAULT (opt-in: LLMC_FUSED_ATTN=1). Round-4 verdict of the
+    serving A/B (benchmarks/bench_attention_fresh.py, attn_update*.log):
+    read-only the kernel runs at ~520 GB/s — 1.7x the XLA two-part path —
+    but EVERY arrangement of the per-step fresh-lane write lost more than
+    that gain: an XLA DUS feeding the kernel copy-protects the FreshKV
+    set (525 us/layer); fusing the write in-kernel with per-program
+    aliased blocks serializes the grid pipeline (174 us/layer); a
+    separate single-program aliased write kernel still measures
+    ~146 us/layer of copy/serialization; Mosaic rejects 1-lane output
+    blocks outright (lane blocks must be 128-divisible or full). The XLA
+    fresh path (engine/generate._fresh_attention) stays the serving
+    default; the kernel remains for read-only windows and future
+    fresh-layout work (a (L, B, KV, W, D) layout would allow an 8-sublane
+    read-modify-write slab instead of a full-slice rewrite)."""
+    import os
+
+    if not os.environ.get("LLMC_FUSED_ATTN"):
+        return False
+    if cfg.pos_embedding == "alibi":
+        return False
+    return (S % 128 == 0 and cfg.head_dim % 8 == 0
+            and cfg.num_heads % cfg.num_kv_heads == 0)
