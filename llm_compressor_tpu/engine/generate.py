@@ -656,7 +656,14 @@ def fresh_path_ok(params, cfg: ModelConfig, cache: KVCache,
 
 
 def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
-                    qcfg: Optional[QuantConfig], ablate=()):
+                    qcfg: Optional[QuantConfig], ablate=(),
+                    head_last: bool = False):
+    """``head_last``: compute the lm head only for the LAST position —
+    prefill needs one row of logits but the packed head kernel is opaque
+    to XLA's slice-push, so without the explicit slice the 128k-vocab
+    head runs over every prompt position (~20% of prefill FLOPs at the
+    bench shape). Verify steps (speculative) need all T logits and keep
+    the default."""
     from ..models.transformer import (
         layer_scan_plan,
         layer_window,
@@ -719,6 +726,8 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
                                      w, ablate)
     if "head" in ablate:  # benchmark ablation: hidden states stand in for
         return h, cache   # logits (argmax over E < vocab stays a valid id)
+    if head_last:
+        h = h[:, -1:, :]
     logits = head(params, cfg, h, qcfg)
     return logits, cache
 
@@ -727,7 +736,8 @@ def _forward_cached(params, cfg: ModelConfig, tokens, cache: KVCache, start,
 def prefill(params, tokens, cache: KVCache, *, cfg: ModelConfig,
             qcfg: Optional[QuantConfig] = None):
     """Encode the prompt; returns (last-position logits (B, V), cache)."""
-    logits, cache = _forward_cached(params, cfg, tokens, cache, jnp.int32(0), qcfg)
+    logits, cache = _forward_cached(params, cfg, tokens, cache, jnp.int32(0),
+                                    qcfg, head_last=True)
     cache = cache.replace(lengths=jnp.full((tokens.shape[0],), tokens.shape[1], jnp.int32))
     return logits[:, -1, :], cache
 

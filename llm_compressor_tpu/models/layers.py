@@ -187,6 +187,15 @@ def tp_trace(axis: str, size: int = 1):
         _TP["axis"], _TP["size"] = prev
 
 
+def _w4a8_kgroups(qt: QTensor) -> int:
+    """Number of K-groups (C/g) of a packed QTensor — the integer
+    kernel's per-group VPU scale-accum scales with it (prefill routing)."""
+    from ..kernels.w4a8_matmul import _dims
+
+    _, C, g = _dims(qt)
+    return C // g
+
+
 def maybe_quant(q: Optional[Quantizer], x):
     if q is None or q.qtype == "dummy":
         return x
@@ -272,19 +281,30 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None,
         from ..kernels.w4a8_matmul import w4a8_matmul
 
         ai = op.act_in if op is not None else None
-        # The integer kernel's per-group f32 scale-accumulate is O(M*N*C/g)
-        # VPU work — ~1.5x the int8 MXU time per GROUP ROW, so it only pays
-        # at decode-size M where the bf16 path is weight-DMA-bound anyway;
-        # at prefill M the dequant-to-bf16 kernel's fixed per-byte cost
-        # amortizes and the MXU dominates (bench_w4a8_ingraph.py).
+        # Routing, measured at the flagship shapes (experiments/
+        # exp_prefill_path.py, RTT-corrected):
+        # * decode M (<= 256 rows): the fused W4A8 integer kernel — the
+        #   bf16 paths are weight-DMA-bound there and the integer kernel
+        #   reads half the bytes.
+        # * prefill M with few K-groups (C/g <= 16): STILL the integer
+        #   kernel (int8 MXU has 2x bf16 peak; 198-204 TFLOP/s vs XLA's
+        #   180-199) — its per-group VPU scale-accum is O(M*N*C/g), cheap
+        #   at <= 16 groups.
+        # * prefill M with deep K (down: C/g = 64): plain XLA dequant +
+        #   bf16 dot (150 TFLOP/s vs the integer kernel's 90).
+        # The dequant-to-bf16 Pallas kernel measured WORST at every
+        # prefill shape (67-77 TFLOP/s: per-element VPU dequant repeated
+        # per M-tile) — it keeps only the small-M non-int8-act role.
         m_rows = math.prod(x.shape[:-1])
+        i8_act = (ai is not None and ai.qtype == "int"
+                  and ai.fmt == ElemFormat.int8 and ai.group_size == -1
+                  and not ai.zero_point)
         if layer is not None:
             y = w4a8_matmul(x, weight, mm_bias,
                             absmax_axis=tp_axis if row_par else None,
                             layer=layer)
-        elif (ai is not None and ai.qtype == "int" and ai.fmt == ElemFormat.int8
-                and ai.group_size == -1 and not ai.zero_point
-                and m_rows <= 256 and w4a8_supported(weight)):
+        elif i8_act and w4a8_supported(weight) and (
+                m_rows <= 256 or _w4a8_kgroups(weight) <= 16):
             y = w4a8_matmul(x, weight, mm_bias,
                             absmax_axis=tp_axis if row_par else None)
         else:
@@ -292,7 +312,19 @@ def qlinear(x, weight, bias=None, op: Optional[OpQuantConfig] = None,
                 x = (_quant_global_per_token(op.act_in, x, tp_axis)
                      if row_par and op.act_in.qtype != "dummy"
                      else maybe_quant(op.act_in, x))
-            y = dequant_matmul(x, weight, mm_bias)
+            if m_rows > 256:
+                # prefill: one XLA dequant of the codes feeds a bf16 MXU
+                # dot (the dequant amortizes over the M rows)
+                from ..qformats import dequantize
+
+                w = dequantize(weight).astype(x.dtype)
+                y = jax.lax.dot_general(
+                    x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+                if mm_bias is not None:
+                    y = y + mm_bias.astype(y.dtype)
+            else:
+                y = dequant_matmul(x, weight, mm_bias)
     else:
         if op is not None:
             x = (_quant_global_per_token(op.act_in, x, tp_axis)

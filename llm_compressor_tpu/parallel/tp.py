@@ -190,13 +190,14 @@ def tp_serve_fns(params, cfg: ModelConfig, mesh: Mesh,
     vocab_sharded = "lm_head" in params
     logits_spec = P("data", "model") if vocab_sharded else P("data", None)
 
-    def _body(p, tokens, cache, start):
+    def _body(p, tokens, cache, start, head_last=False):
         with tp_trace("model", n_model):
-            logits, cache = _forward_cached(p, lcfg, tokens, cache, start, qcfg)
+            logits, cache = _forward_cached(p, lcfg, tokens, cache, start,
+                                            qcfg, head_last=head_last)
         return logits, cache
 
     def _prefill_local(p, tokens, cache):
-        logits, cache = _body(p, tokens, cache, jnp.int32(0))
+        logits, cache = _body(p, tokens, cache, jnp.int32(0), head_last=True)
         cache = cache.replace(
             lengths=jnp.full((tokens.shape[0],), tokens.shape[1], jnp.int32))
         return logits[:, -1, :], cache
