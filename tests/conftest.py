@@ -22,6 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 # comparisons — force exact f32.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: most suite wall-time is XLA-CPU compiles of
+# tiny-model programs that rarely change — caching them cuts repeat runs
+# far below the cold time (keyed by optimized-HLO hash, safe across edits).
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

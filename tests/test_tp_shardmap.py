@@ -30,7 +30,7 @@ def _reference(params, cfg, qcfg, toks, quantized_kv):
 
 @pytest.mark.parametrize("arch,n_data,n_model", [
     ("llama", 2, 2), ("llama", 1, 4), ("qwen2", 2, 2), ("phi", 1, 2),
-    ("bloom", 1, 2), ("bloom", 1, 4),  # ALiBi slopes sliced by global head
+    ("bloom", 1, 4),  # ALiBi slopes sliced by global head index
 ])
 def test_tp_decode_matches_single_device(arch, n_data, n_model):
     kv = {"num_kv_heads": 4} if n_model == 4 else {}
