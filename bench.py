@@ -342,7 +342,11 @@ def main():
             if _elapsed() < SOFT_BUDGET_S:
                 out[key] = round(_bench_ttft(params, cfg, qcfg, b), 1)
         # prefill throughput + MFU at b8 (VERDICT r3 item 4): tokens/s over
-        # the RTT-corrected p50, MFU vs a same-run bf16 matmul anchor
+        # the RTT-corrected p50, MFU vs a same-run bf16 matmul anchor.
+        # NOTE: most prefill projections run on the int8 MXU (2x bf16
+        # peak) since the round-4 routing, so this fraction can approach
+        # or exceed 1.0 — it reads "prefill achieves N x the chip's
+        # achievable bf16 matmul rate on the model's dense FLOPs".
         if "ttft_ms_b8" in out and _elapsed() < SOFT_BUDGET_S:
             t_ms = max(out["ttft_ms_b8"] - out.get("rtt_ms", 0.0), 1e-3)
             toks = 8 * 512
