@@ -166,6 +166,46 @@ def main():
         return decode_attention(q, kc, vc, ks, vs, li, len0, len0 + t, w, t,
                                 fresh=(kf, vf, ksf, vsf), scale=scale)
 
+    def make_pallas_write_after():
+        """TIMING-ONLY dataflow probe: kernel reads the CARRIED fresh
+        buffers FIRST, the XLA DUS lane-write happens AFTER the read in
+        the same layer (values stale at lane t — the real engine form
+        would pass the current token as a width-1 third kernel part).
+        Distinguishes read-after-write copy-protection (525 us/layer,
+        pallas2_write) from write-after-read."""
+        @jax.jit
+        def run(q, w, bufs):
+            kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
+
+            def outer(i, carry):
+                q, kf, vf, ksf, vsf = carry
+
+                def layer(c, li):
+                    q, kf, vf, ksf, vsf = c
+                    o = decode_attention(q, kc, vc, ks, vs, li, len0,
+                                         len0 + t, w, t,
+                                         fresh=(kf, vf, ksf, vsf),
+                                         scale=scale)
+                    # lane write AFTER the kernel read (chained through o
+                    # so it cannot be hoisted above the read's consumer)
+                    nk = jnp.clip(jnp.round(
+                        jnp.swapaxes(o[:, :, :1, :], 2, 3) * 8), -127, 127
+                    ).astype(jnp.int8)
+                    idx = (li, 0, 0, 0, t)
+                    kf = jax.lax.dynamic_update_slice(kf, nk[None], idx)
+                    vf = jax.lax.dynamic_update_slice(vf, nk[None], idx)
+                    q = (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype)
+                    return (q, kf, vf, ksf, vsf), None
+
+                c, _ = jax.lax.scan(layer, carry, jnp.arange(L))
+                return c
+
+            q, *_ = jax.lax.fori_loop(0, args.outer, outer,
+                                      (q, kf, vf, ksf, vsf))
+            return q
+
+        return lambda q, w: run(q, w, bufs0)
+
     def make_pallas_carry(write_lane: bool):
         """ENGINE-structured: fresh buffers as a scan CARRY, optionally a
         per-layer DUS write before the kernel reads them (the serving
@@ -279,7 +319,8 @@ def main():
                 "pallas2": make(pallas2),
                 "pallas2_carry": make_pallas_carry(False),
                 "pallas2_write": make_pallas_carry(True),
-                "pallas3_update": make_pallas_update()}
+                "pallas3_update": make_pallas_update(),
+                "pallas4_wafter": make_pallas_write_after()}
     if only:
         keep = only.split(",")
         variants = {k: v for k, v in variants.items() if k in keep}

@@ -225,20 +225,11 @@ def _cached_attention(lp, cfg: ModelConfig, layer_idx: int, x, positions,
             eff_scale = 1.0
         else:
             eff_scale = scale
-        if _attn_kernel_ok(cfg, cache.max_len, ablate):
-            # fused Pallas kernel straight off the FULL cache buffers
-            # (scalar-prefetch layer indexing — no per-layer slice)
-            from ..kernels.decode_attention import decode_attention
-
-            pos = positions[:, 0]             # (B,) current abs position
-            w_ = window if window is not None else jnp.int32(0)
-            out4 = decode_attention(
-                q4, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                layer_idx, pos + 1, pos, w_, 0, fresh=None,
-                scale=eff_scale, softcap=cfg.attn_logit_softcapping)
-            out = out4.astype(x.dtype).reshape(B, T, H * D)
-            return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"),
-                           g("o"), slot="o"), cache
+        # NOTE: no Pallas kernel on this CARRIED path — the cache is
+        # scatter-written by append_decode in the same scan body, and a
+        # custom call reading an XLA-written carried buffer makes XLA
+        # copy-protect it (benchmarks/bench_attention_fresh.py); the
+        # all-XLA form fuses freely.
         qi, qs = _row_quant(q4)
         s32 = jax.lax.dot_general(            # (B, KV, r, S) int8 MXU
             qi, Kc, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
@@ -433,7 +424,9 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     kc, ks = _quant_i8(k)                    # (B, KV, D, 1), (B, KV, 1, 1)
     vc, vs = _quant_i8(v)
     use_kernel = _attn_kernel_ok(cfg, cache.max_len, ablate)
-    if "append" not in ablate and not use_kernel:
+    if "append" not in ablate:
+        # the hybrid kernel path reads fresh only from XLA ops, so the
+        # write is the plain XLA DUS in both modes
         fresh = write_fresh(fresh, layer_idx, t, kc, vc, ks, vs)
 
     if "attn" in ablate:  # benchmark ablation: skip the attention core
@@ -448,40 +441,68 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     else:
         eff = cfg.attn_scale
 
-    if use_kernel:
-        # Pallas fast path, TWO kernels per layer. (1) fresh_write: the
-        # new token's codes merge into the FreshKV layer slice through
-        # input_output_aliases — an XLA DUS feeding an opaque custom call
-        # made XLA copy-protect the whole FreshKV set every layer
-        # (~525 us/layer measured), and fusing the write into the
-        # attention kernel's per-program aliased blocks serialized its
-        # grid pipeline (~96 us/call at any W) — benchmarks/
-        # bench_attention_fresh.py. (2) decode_attention: two-part
-        # [main | fresh] attention off the FULL buffers; the XLA two-part
-        # epilogue loses its softmax fusion to the cross-part max/sum
-        # coupling (~2x single-window cost) while in-VMEM score tiles
-        # make the split free.
-        from ..kernels.decode_attention import decode_attention, fresh_write
-
-        kfo, vfo, ksfo, vsfo = fresh_write(
-            (fresh.k, fresh.v, fresh.k_scale, fresh.v_scale),
-            (kc, vc, ks, vs), layer_idx, t)
-        fresh = fresh.replace(k=kfo, v=vfo, k_scale=ksfo, v_scale=vsfo)
-        pos = len0 + t
-        w_ = window if window is not None else jnp.int32(0)
-        out4 = decode_attention(
-            q4, cache.k, cache.v, cache.k_scale, cache.v_scale, layer_idx,
-            len0, pos, w_, t,
-            fresh=(fresh.k, fresh.v, fresh.k_scale, fresh.v_scale),
-            scale=eff, softcap=cfg.attn_logit_softcapping)
-        out = out4.astype(x.dtype).reshape(B, T, H * D)
-        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
-                       slot="o"), fresh
-
     def _row_quant(tns):
         absmax = jnp.max(jnp.abs(tns), axis=-1, keepdims=True)
         s = jnp.maximum(absmax / 127.0, 1e-8)
         return jnp.clip(jnp.round(tns / s), -127, 127).astype(jnp.int8), s
+
+    if use_kernel:
+        # HYBRID Pallas/XLA attention (round 4). The kernel touches ONLY
+        # the loop-invariant main cache — any custom call reading a
+        # buffer that XLA also writes in the scan body (the FreshKV
+        # write) makes XLA copy-protect the whole buffer set
+        # (~0.5 ms/layer, whichever side writes first), and in-kernel
+        # aliased writes serialize Mosaic's pipeline — so the tiny
+        # (B, KV, r, W) fresh side runs in XLA, which fuses its DUS +
+        # reads freely. The int8 prob quantizer couples the two parts
+        # through the shared row scale ``a``: the fresh side computes
+        # masked rowmax stats FIRST, the kernel finishes the coupling
+        # and returns (o32_main, m, a, sum_main), and XLA requantizes
+        # the fresh probs with the same (m, a). Same math as the
+        # all-XLA epilogue up to the exp(m_f - m) rescale rounding
+        # (int8 codes may differ by 1 ulp class; tokens unchanged —
+        # tests/test_greedy_steps.py).
+        from ..kernels.decode_attention import decode_attention_stats
+
+        q_i8, q_s = _row_quant(q4)
+        pos = len0 + t
+        w = window if window is not None else jnp.int32(0)
+        kf_l = fresh.k[layer_idx]
+        vf_l = fresh.v[layer_idx]
+        ksf_l = fresh.k_scale[layer_idx]
+        vsf_l = fresh.v_scale[layer_idx]
+        W = kf_l.shape[-1]
+        s_f = jax.lax.dot_general(
+            q_i8, kf_l, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * q_s * ksf_l * eff
+        s_f = softcap(s_f, cfg.attn_logit_softcapping)
+        sf_ids = jnp.arange(W)[None, :]
+        keep_f = (sf_ids <= t) \
+            & ((w <= 0) | ((len0[:, None] + sf_ids) > (pos - w)[:, None]))
+        s_f = jnp.where(keep_f[:, None, None, :], s_f, NEG_INF)
+        m_f = s_f.max(axis=-1, keepdims=True)               # (B,KV,r,1)
+        e_f = jnp.exp(s_f - m_f)
+        sum_f = e_f.sum(axis=-1, keepdims=True)
+        w_f = e_f * vsf_l
+        wfm = w_f.max(axis=-1, keepdims=True)
+
+        o32m, m, a, sum_m = decode_attention_stats(
+            q_i8, q_s, m_f, wfm, cache.k, cache.v, cache.k_scale,
+            cache.v_scale, layer_idx, len0, pos, w, scale=eff,
+            softcap=cfg.attn_logit_softcapping)
+
+        r_f = jnp.exp(m_f - m)
+        pi_f = jnp.clip(jnp.round(w_f * (r_f / a)), -127, 127
+                        ).astype(jnp.int8)
+        o32f = jax.lax.dot_general(
+            pi_f, vf_l, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32)
+        denom = sum_m + sum_f * r_f
+        out4 = (o32m + o32f.astype(jnp.float32)) * (a / denom)
+        out = out4.astype(x.dtype).reshape(B, T, H * D)
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), fresh
 
     qi, qs = _row_quant(q4)
     dots = lambda a, b: jax.lax.dot_general(      # (B,KV,r,D).(B,KV,D,S)

@@ -133,6 +133,141 @@ def _kernel(layer_ref, mlen_ref, pos_ref, wt_ref, q_ref, k_ref, v_ref,
         o_ref[sl] = out.astype(o_ref.dtype)
 
 
+def _kernel_stats(layer_ref, mlen_ref, pos_ref, w_ref, qi_ref, qs_ref,
+                  mf_ref, wfm_ref, k_ref, v_ref, ks_ref, vs_ref,
+                  o_ref, m_ref, a_ref, sum_ref, *, tb: int, scale: float,
+                  softcap):
+    """MAIN-window partial attention with cross-part quant coupling.
+
+    The hybrid fresh-decode design (round 4): any custom call that READS
+    a buffer some XLA op WRITES inside the decode scan makes XLA
+    copy-protect the whole buffer (~0.5 ms/layer for FreshKV, whichever
+    side writes first — benchmarks/bench_attention_fresh.py
+    pallas2_write / pallas4_wafter), and in-kernel aliased writes
+    serialize the Mosaic pipeline. So the kernel touches ONLY the
+    loop-INVARIANT main cache; the (B, KV, r, W) fresh side runs in XLA
+    where its DUS + reads fuse freely. The int8 prob quantizer couples
+    the parts through the shared row scale ``a``, so the fresh side runs
+    FIRST and hands in per-row stats:
+
+        m_f    = rowmax of the masked fresh scores
+        wfm'   = rowmax of exp(s_f - m_f) * v_scale_f
+
+    and the kernel finishes the coupling exactly:
+
+        m   = max(m_main, m_f)
+        a   = max(wmax_main, wfm' * exp(m_f - m)) / 127   (clamped)
+        pi  = round(w_main / a);  o32 = pi . V_main
+        out = o32 (f32-exact: <= 127^2 * S < 2^24), plus (m, a, sum_main)
+
+    XLA then requantizes the fresh probs with the SAME (m, a), adds the
+    fresh PV dot, and scales by a / (sum_main + sum_f' * exp(m_f - m)).
+    ``qi``/``qs`` (the row-quantized q) are computed once in XLA and fed
+    to both sides."""
+    i = pl.program_id(0)
+    w = w_ref[0]
+    S = k_ref.shape[-1]
+
+    for sl in range(tb):
+        b = i * tb + sl
+        mlen = mlen_ref[b]
+        pos = pos_ref[b]
+        qi = qi_ref[sl]                                 # (KV, r, D) int8
+        qs = qs_ref[sl].astype(jnp.float32)             # (KV, r, 1)
+        s32 = jax.lax.dot_general(                      # (KV, r, S)
+            qi, k_ref[0, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * qs * ks_ref[0, sl] * scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        keep = (s_ids < mlen) & ((w <= 0) | (s_ids > pos - w))
+        s = jnp.where(keep, s, NEG_INF)
+
+        m_main = s.max(axis=-1, keepdims=True)          # (KV, r, 1)
+        m = jnp.maximum(m_main, mf_ref[sl])
+        e = jnp.exp(s - m)
+        sum_m = e.sum(axis=-1, keepdims=True)
+        wm = e * vs_ref[0, sl]
+        a = jnp.maximum(wm.max(axis=-1, keepdims=True),
+                        wfm_ref[sl] * jnp.exp(mf_ref[sl] - m))
+        a = jnp.maximum(a / 127.0, 1e-8)
+        pi = jnp.clip(jnp.round(wm / a), -127, 127).astype(jnp.int8)
+        o32 = jax.lax.dot_general(                      # (KV, r, D)
+            pi, v_ref[0, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        o_ref[sl] = o32.astype(jnp.float32)
+        m_ref[sl] = m
+        a_ref[sl] = a
+        sum_ref[sl] = sum_m
+
+
+@partial(jax.jit, static_argnames=("scale", "softcap"))
+def _call_stats(layer, mlen, pos, w, qi, qs, mf, wfm, kc, vc, ks, vs, *,
+                scale, softcap):
+    B, KV, r, D = qi.shape
+    S = kc.shape[-1]
+    tb = _pick_tb(B, KV, D, S, 0)
+    interpret = jax.default_backend() != "tpu"
+
+    def blk_main(shape5):
+        return pl.BlockSpec((1, tb) + shape5,
+                            lambda i, l, *_: (l[0], i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def blk_row(dim3):
+        return pl.BlockSpec((tb, KV, r, dim3), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # layer, mlen, pos, window
+        grid=(B // tb,),
+        in_specs=[blk_row(D), blk_row(1), blk_row(1), blk_row(1),
+                  blk_main((KV, D, S)), blk_main((KV, D, S)),
+                  blk_main((KV, 1, S)), blk_main((KV, 1, S))],
+        out_specs=(blk_row(D), blk_row(1), blk_row(1), blk_row(1)),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, KV, r, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, KV, r, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, KV, r, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, KV, r, 1), jnp.float32),
+    )
+    return pl.pallas_call(
+        partial(_kernel_stats, tb=tb, scale=scale, softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KV * r * S * D,
+            bytes_accessed=2 * B * KV * (D + 4) * S,
+            transcendentals=B * KV * r * S,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(), mlen, pos,
+      jnp.asarray([w], jnp.int32).ravel(), qi, qs, mf, wfm, kc, vc, ks, vs)
+
+
+def decode_attention_stats(qi, qs, m_f, wfm, cache_k, cache_v, k_scale,
+                           v_scale, layer, main_len, pos, window, *,
+                           scale: float, softcap=None):
+    """Main-window partial attention (see _kernel_stats): returns
+    (o32_main as exact f32 (B, KV, r, D), m, a, sum_main each
+    (B, KV, r, 1)). ``qi``/``qs`` from the XLA row quant; ``m_f``/``wfm``
+    the fresh side's masked rowmax stats."""
+    return _call_stats(jnp.asarray(layer, jnp.int32),
+                       main_len.astype(jnp.int32), pos.astype(jnp.int32),
+                       jnp.asarray(window, jnp.int32), qi,
+                       qs.astype(jnp.float32), m_f, wfm,
+                       cache_k, cache_v, k_scale, v_scale,
+                       scale=float(scale),
+                       softcap=None if softcap is None else float(softcap))
+
+
 def _kernel_write(layer_ref, t_ref, kf_ref, vf_ref, ksf_ref, vsf_ref,
                   nk_ref, nv_ref, nks_ref, nvs_ref,
                   kfo_ref, vfo_ref, ksfo_ref, vsfo_ref):
