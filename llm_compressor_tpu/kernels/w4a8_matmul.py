@@ -97,15 +97,14 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
                k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
 
 
-def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
-               half, nk, int4):
-    """Shared dot/scale/accumulate body: ``x_i8`` is the (TM, tk) int8
-    activation block, ``sx`` the (TM, 1) f32 act scale (epilogue)."""
+def _w4a8_total(x_i8, wp_ref, st_ref, *, group, gpk, half, int4):
+    """One k-block's scaled partial sum (TM, TN) f32 for a weight/scale
+    block pair — the unpack/dot/scale core shared by every kernel variant.
 
-    # Per-group contributions accumulate in a LOCAL value (registers/Mosaic
-    # temporaries) — `acc[...] +=` per group was a VMEM read-modify-write of
-    # the whole (TM, TN) f32 tile x gpk, 8x the tile's own HBM bytes in VMEM
-    # traffic (measured: the int8 head ran 3x slower than its DMA floor).
+    Per-group contributions accumulate in a LOCAL value (registers/Mosaic
+    temporaries) — `acc[...] +=` per group was a VMEM read-modify-write of
+    the whole (TM, TN) f32 tile x gpk, 8x the tile's own HBM bytes in VMEM
+    traffic (measured: the int8 head ran 3x slower than its DMA floor)."""
     total = None
     if int4 and _UNPACK == "hybrid":
         # Hybrid unpack: the lo plane needs NO int32 round-trip — P & 0x0F
@@ -220,6 +219,17 @@ def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
                 preferred_element_type=jnp.int32)
             c = part.astype(jnp.float32) * st_ref[gi, :][None, :]
             total = c if total is None else total + c
+
+    return total
+
+
+def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
+               half, nk, int4):
+    """Shared accumulate/epilogue wrapper around :func:`_w4a8_total`:
+    ``x_i8`` is the (TM, tk) int8 activation block, ``sx`` the (TM, 1)
+    f32 act scale (epilogue)."""
+    total = _w4a8_total(x_i8, wp_ref, st_ref, group=group, gpk=gpk,
+                        half=half, int4=int4)
 
     @pl.when(k == 0)
     def _():
@@ -372,6 +382,159 @@ def _call_stacked(x_i8, wp, scales_t, sx, layer, *, group, int4, tm, tn, tk,
         ),
         interpret=interpret,
     )(jnp.asarray([layer], jnp.int32).ravel(), x_i8, wp, scales_t, sx)
+
+
+def _w4a8_kernel_gateup_silu(li_ref, x_ref, wg_ref, wu_ref, stg_ref,
+                             stu_ref, sx_ref, out_ref, acc_g, acc_u, *,
+                             group: int, tk: int, nk: int, int4: bool,
+                             act: str):
+    """Fused gate|up matmuls + silu(gate)*up epilogue over STACKED packed
+    gateup weights (scalar-prefetch layer index).
+
+    The serving MLP previously ran ONE gateup kernel producing the
+    (M, 2I) concat, then XLA silu-multiplied the halves and the down
+    kernel re-read the (M, I) product — ~8 MB of HBM round-trips per
+    layer at the bench shape (y write+read plus h write+read). Here each
+    program fetches the PAIRED gate and up weight tiles (two views into
+    the same stacked buffer, offset index maps), keeps both accumulators
+    in VMEM, and writes only the activated (TM, TN) h tile. Numerics:
+    identical values to [kernel gateup] -> bf16 -> silu*mul in bf16 (the
+    epilogue casts each half with the act scale exactly like the plain
+    kernel before applying the activation)."""
+    k = pl.program_id(2)
+    gpk = tk // group
+    half = group // 2
+    tg = _w4a8_total(x_ref[...], wg_ref[0], stg_ref[0], group=group,
+                     gpk=gpk, half=half, int4=int4)
+    tu = _w4a8_total(x_ref[...], wu_ref[0], stu_ref[0], group=group,
+                     gpk=gpk, half=half, int4=int4)
+
+    @pl.when(k == 0)
+    def _():
+        acc_g[...] = tg
+        acc_u[...] = tu
+
+    @pl.when(k > 0)
+    def _():
+        acc_g[...] += tg
+        acc_u[...] += tu
+
+    @pl.when(k == nk - 1)
+    def _():
+        sx = sx_ref[...]
+        g = (acc_g[...] * sx).astype(out_ref.dtype)
+        u = (acc_u[...] * sx).astype(out_ref.dtype)
+        if act in ("silu", "swish"):
+            h = jax.nn.silu(g) * u
+        elif act in ("gelu", "gelu_python"):
+            h = jax.nn.gelu(g, approximate=False) * u
+        else:  # gelu_new / gelu_pytorch_tanh / gelu_tanh
+            h = jax.nn.gelu(g, approximate=True) * u
+        out_ref[...] = h.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
+                                   "act", "out_dtype"))
+def _call_gateup_silu(x_i8, wp, scales_t, sx, layer, *, group, int4, tm,
+                      tn, tk, act, out_dtype=jnp.bfloat16):
+    """Stacked fused gateup+activation: wp (L, 2I, K[/2]) in fuse_model's
+    [gate | up] row order; returns h (M, I)."""
+    M, C = x_i8.shape
+    N2 = wp.shape[1]
+    I = N2 // 2
+    nk = C // tk
+    gpk = tk // group
+    up_off = I // tn  # up rows start at block offset I/tn (static)
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # layer index
+        grid=(_cdiv(M, tm), I // tn, nk),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k, li: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, tk // 2 if int4 else tk),
+                         lambda i, j, k, li: (li[0], j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, tk // 2 if int4 else tk),
+                         lambda i, j, k, li: (li[0], up_off + j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpk, tn), lambda i, j, k, li: (li[0], k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpk, tn),
+                         lambda i, j, k, li: (li[0], k, up_off + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j, k, li: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, li: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32),
+                        pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_w4a8_kernel_gateup_silu, group=group, tk=tk, nk=nk,
+                int4=int4, act=act),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), I), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N2 * C,
+            bytes_accessed=wp.size // wp.shape[0]
+            + scales_t.size // wp.shape[0] * 4 + M * C + M * I * 2,
+            transcendentals=M * I,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(), x_i8, wp, wp,
+      scales_t, scales_t, sx)  # gate/up = two offset views of one buffer
+
+
+_GATED_ACTS = ("silu", "swish", "gelu", "gelu_python", "gelu_new",
+               "gelu_pytorch_tanh", "gelu_tanh")
+
+
+def gateup_silu_matmul(x: jnp.ndarray, qt: QTensor, act: str, layer):
+    """h = act(x @ Wg^T) * (x @ Wu^T) fused in one kernel over the
+    STACKED serving-fused gateup QTensor (codes (L, 2I, K[/2])) — the
+    (M, 2I) concat and the (M, I) product never round-trip HBM. Caller
+    guarantees: int8 per-token act config, no bias, act in _GATED_ACTS,
+    supported(qt) and tn divides I (see gateup_silu_ok)."""
+    N2, C, g = _dims(qt)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    scales_t = (qt.scales_t if qt.scales_t is not None
+                else qt.scales.reshape(N2, C // g).T)
+    int4 = qt.quantizer.fmt == ElemFormat.int4
+    tm = min(_round_up(M, 32), 256)
+    I = N2 // 2
+    tn = 1024 if I % 1024 == 0 else next(
+        t for t in (512, 256, 128) if I % t == 0)
+    tk = _pick_tk(C, g)
+    x_i8, sx = quantize_acts_per_token(x2)
+    if M % tm:
+        pad = (-M) % tm
+        x_i8 = jnp.pad(x_i8, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
+    out = _call_gateup_silu(x_i8, qt.codes, scales_t,
+                            sx.astype(jnp.float32),
+                            jnp.asarray(layer, jnp.int32), group=g,
+                            int4=int4, tm=tm, tn=tn, tk=tk, act=act,
+                            out_dtype=jnp.dtype(x.dtype))
+    return out[:M, :I].reshape(*lead, I)
+
+
+def gateup_silu_ok(qt: QTensor, act: str) -> bool:
+    """Static gate for the fused gateup+activation kernel."""
+    import os
+
+    if os.environ.get("LLMC_NO_FUSED_MLP"):
+        return False
+    if act not in _GATED_ACTS or not supported(qt):
+        return False
+    N2, C, g = _dims(qt)
+    I = N2 // 2
+    return N2 % 2 == 0 and any(I % t == 0 for t in (1024, 512, 256, 128))
 
 
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",

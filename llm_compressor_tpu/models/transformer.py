@@ -327,6 +327,44 @@ def attention(
 # ---------------------------------------------------------------------------
 
 
+def _try_fused_gateup(cfg: ModelConfig, mp, x, gop, taps):
+    """Fused gateup + activation kernel dispatch for the STACKED serving
+    path (kernels/w4a8_matmul.gateup_silu_matmul): the (M, 2I) concat and
+    the (M, I) product never round-trip HBM. Returns h or None (falls to
+    the split path). Engages under the same conditions as qlinear's
+    integer-kernel route: int8 per-token act_in, dummy act_out, no bias,
+    no calibration taps, decode-size M or few K-groups."""
+    import math as _math
+
+    from .layers import LayerSlice
+
+    w = mp["gateup"]["weight"]
+    if not isinstance(w, LayerSlice) or mp["gateup"].get("bias") is not None \
+            or taps is not None or gop is None:
+        return None
+    ai = gop.act_in
+    from ..qformats import ElemFormat as _EF
+    if not (ai.qtype == "int" and ai.fmt == _EF.int8 and ai.group_size == -1
+            and not ai.zero_point and gop.act_out.qtype == "dummy"):
+        return None
+    from ..kernels.w4a8_matmul import (
+        _dims,
+        gateup_silu_matmul,
+        gateup_silu_ok,
+    )
+    from ..models.layers import _TP
+
+    if _TP["axis"] is not None:  # TP shards interleave rows differently
+        return None
+    if not gateup_silu_ok(w.qt, cfg.hidden_act):
+        return None
+    m_rows = _math.prod(x.shape[:-1])
+    _, C, g_ = _dims(w.qt)
+    if m_rows > 256 and C // g_ > 16:
+        return None
+    return gateup_silu_matmul(x, w.qt, cfg.hidden_act, w.layer)
+
+
 def mlp(layer_params: Params, cfg: ModelConfig, x,
         ops: Optional[LayerOps] = None, taps: Optional[dict] = None):
     mp = layer_params["mlp"]
@@ -334,7 +372,15 @@ def mlp(layer_params: Params, cfg: ModelConfig, x,
     _tap(taps, "mlp_in", x)
     if cfg.mlp_style == "gated":
         if "gateup" in mp:  # serving-fused gate|up (see fuse_model)
-            y = qlinear(x, mp["gateup"]["weight"], mp["gateup"].get("bias"), g("gate"))
+            gop = g("gate")
+            h = _try_fused_gateup(cfg, mp, x, gop, taps)
+            if h is not None:
+                _tap(taps, "down_in", h)
+                return qlinear(h, mp["down"]["weight"],
+                               mp["down"].get("bias"), g("down"),
+                               slot="down")
+            y = qlinear(x, mp["gateup"]["weight"], mp["gateup"].get("bias"),
+                        gop)
             I = y.shape[-1] // 2
             gt, u = y[..., :I], y[..., I:]
         else:

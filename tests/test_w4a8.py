@@ -191,3 +191,38 @@ def test_unpack_modes_agree(rng, monkeypatch):
     for mode in ("hybrid", "xor"):
         np.testing.assert_allclose(outs[mode], ref, rtol=1e-5,
                                    atol=1e-5 * np.abs(ref).max())
+
+
+def test_fused_gateup_silu_matches_split(rng):
+    """gateup_silu_matmul (fused gate|up + activation kernel) ==
+    [stacked gateup kernel] -> bf16 -> silu(g)*u, bitwise in interpret
+    mode (the fused epilogue casts each half with the act scale exactly
+    like the plain kernel before activating)."""
+    import jax
+
+    from llm_compressor_tpu.kernels.w4a8_matmul import (
+        gateup_silu_matmul,
+        gateup_silu_ok,
+        w4a8_matmul,
+    )
+
+    L, I, C, M, g = 2, 512, 256, 8, 128
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=g)
+    qts = [quantize_pack(q, jnp.asarray(
+        rng.normal(0, 0.1, size=(2 * I, C)).astype(np.float32)))
+        for _ in range(L)]
+    codes = jnp.stack([t.codes.reshape(2 * I, C // 2) for t in qts])
+    scales = jnp.stack([t.scales.reshape(2 * I, C // g) for t in qts])
+    st = jnp.stack([t.scales.reshape(2 * I, C // g).T for t in qts])
+    stacked = qts[0].replace(codes=codes, scales=scales, scales_t=st)
+    assert gateup_silu_ok(stacked, "silu")
+
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32),
+                    jnp.bfloat16)
+    for li in range(L):
+        got = np.asarray(
+            gateup_silu_matmul(x, stacked, "silu", jnp.int32(li)),
+            np.float32)
+        y = w4a8_matmul(x, stacked, layer=jnp.int32(li))   # (M, 2I) bf16
+        ref = np.asarray(jax.nn.silu(y[:, :I]) * y[:, I:], np.float32)
+        np.testing.assert_array_equal(got, ref)
