@@ -341,6 +341,10 @@ def main():
         for b, key in ((1, "ttft_ms_b1"), (8, "ttft_ms_b8")):
             if _elapsed() < SOFT_BUDGET_S:
                 out[key] = round(_bench_ttft(params, cfg, qcfg, b), 1)
+                # self-contained compute-only reading (VERDICT r4 item 8):
+                # the raw value is tunnel-latency-dominated at b1
+                out[key + "_rtt_corrected"] = round(
+                    max(out[key] - out.get("rtt_ms", 0.0), 0.0), 1)
         # prefill throughput + MFU at b8 (VERDICT r3 item 4): tokens/s over
         # the RTT-corrected p50, MFU vs a same-run bf16 matmul anchor.
         # NOTE: most prefill projections run on the int8 MXU (2x bf16

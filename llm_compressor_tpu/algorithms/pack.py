@@ -5,11 +5,13 @@ on their quantization grid. ``pack_model`` converts them to packed QTensor
 storage (int4 nibbles / int8 / fp8 bytes + group scales) so the serving
 path runs the fused Pallas dequant-matmul on real quantized weights.
 
-Repacking note: scales are re-derived with ``find_params`` on the
-grid-aligned weights. For symmetric absmax quantizers this is exact
-whenever a group's max code is saturated (the common case); MSE-clipped or
-heavily error-compensated groups can repack with sub-step error. Exact
-scale threading from calibration is tracked as a follow-up.
+Repacking note: calibration algorithms record their exact (scales, zeros)
+in a ``scale_book`` (round 2), which ``pack_model`` consumes — packing is
+lossless for every algorithm that quantized with fixed params (RTN, GPTQ,
+GPTAQ, AWQ...). Only weights with NO scale_book entry fall back to
+re-deriving scales with ``find_params`` on the grid-aligned values (exact
+for symmetric absmax whenever a group's max code saturates; MSE-clipped
+groups could repack with sub-step error on that fallback path only).
 """
 
 from __future__ import annotations

@@ -177,7 +177,9 @@ def generate_speculative(params, cfg: ModelConfig, prompt_tokens: np.ndarray,
                          qcfg: Optional[QuantConfig] = None,
                          quantized_kv: bool = False,
                          max_len: Optional[int] = None,
-                         ngram: int = 2, rounds_per_dispatch: int = 8):
+                         ngram: int = 2, rounds_per_dispatch: int = 8,
+                         accept_floor: Optional[float] = None,
+                         floor_window: int = 32):
     """Greedy generation with prompt-lookup speculative decoding.
 
     The whole draft -> verify -> accept -> history-append loop runs
@@ -187,10 +189,31 @@ def generate_speculative(params, cfg: ModelConfig, prompt_tokens: np.ndarray,
     rounds (round 3 paid one ~25 ms RTT per verify round and lost its A/B
     8x; VERDICT r3 item 3).
 
-    Returns (per-slot token lists including the prompt, mean_accepted
-    float — draft tokens accepted per verify round, 0 <= a <= k_draft)."""
+    Accept-rate autotuner (VERDICT r4 item 6): once at least
+    ``floor_window`` LIVE rounds have run, if the liveness-weighted mean
+    accept drops below ``accept_floor`` (default 0.3 * k_draft — the
+    measured break-even region: scan decode wins offline at accept ~= 0
+    by 2.8-4x, docs/serving.md, so speculation must pay for its T=k+1
+    verify forwards) the loop FALLS BACK to plain scan decoding
+    (decode_greedy_steps) for the remaining tokens — speculation can then
+    never lose more than the probe window. Pass ``accept_floor=0`` to pin
+    speculation on (A/B harnesses).
+
+    Acceptance telemetry counts only LIVE rounds: a slot that hits
+    EOS/max_new mid-chunk keeps verifying until the chunk's host sync
+    (``active`` is frozen per dispatch), and those dead rounds previously
+    diluted the mean (ADVICE r4). Liveness is reconstructed per round
+    from the committed watermark and the per-round length advances.
+
+    Returns (per-slot token lists including the prompt, stats dict with
+    ``mean_accepted`` (draft tokens accepted per live verify round, in
+    [0, k_draft]), ``live_rounds``, ``rounds``, ``fell_back``)."""
+    from .generate import decode_greedy_steps
+
     B, T = prompt_tokens.shape
     R = rounds_per_dispatch
+    if accept_floor is None:
+        accept_floor = 0.3 * k_draft
     # headroom: a chunk may overshoot max_new by R*(k+1) before the host
     # truncates; every verify round writes k_draft+1 cache positions
     slack = R * (k_draft + 1)
@@ -229,20 +252,82 @@ def generate_speculative(params, cfg: ModelConfig, prompt_tokens: np.ndarray,
     for b in range(B):
         _commit(b, first_np[b])
 
+    n_rounds = 0
+    fell_back = False
     while not all(done):
         active = jnp.asarray([not d for d in done])
+        start_marks = list(committed)
+        budget_left = [max_new_tokens - new_counts[b] for b in range(B)]
         hist_dev, hlen, cache, acc = speculative_rounds(
             params, hist_dev, hlen, cache, active, rounds=R, k=k_draft,
             ngram=ngram, cfg=cfg, qcfg=qcfg)
         # ONE host sync per R rounds
         hist_np, hlen_np, acc_np = jax.device_get((hist_dev, hlen, acc))
-        act_np = np.asarray([not d for d in done])
-        acc_sum += float(acc_np[:, act_np].sum())
-        acc_n += int(R * act_np.sum())
+        n_rounds += R * int(sum(1 for d in done if not d))
         for b in range(B):
             if done[b]:
                 continue
             for t in hist_np[b, committed[b]:int(hlen_np[b])]:
                 _commit(b, t)
             committed[b] = int(hlen_np[b])
-    return hist, (acc_sum / acc_n if acc_n else 0.0)
+            # liveness-weighted acceptance (ADVICE r4): `active` is frozen
+            # for the whole chunk, so rounds dispatched after this slot's
+            # in-chunk EOS/max_new are dead — find the hist index where
+            # the slot finished and count only rounds that BEGAN before it.
+            limit = start_marks[b] + budget_left[b]
+            if eos_id is not None:
+                seg = hist_np[b, start_marks[b]:int(hlen_np[b])]
+                eos_hits = np.nonzero(seg == eos_id)[0]
+                if eos_hits.size:
+                    limit = min(limit, start_marks[b] + int(eos_hits[0]) + 1)
+            pos = start_marks[b]
+            for r in range(R):
+                if pos >= limit:
+                    break
+                acc_sum += float(acc_np[r, b])
+                acc_n += 1
+                pos += int(acc_np[r, b]) + 1
+        # break-even autotuner: windowed liveness-weighted mean accept
+        if (not fell_back and accept_floor > 0 and acc_n >= floor_window
+                and acc_sum / acc_n < accept_floor and not all(done)):
+            fell_back = True
+            break
+
+    if fell_back:
+        # finish with plain scan decoding: chunked decode_greedy_steps from
+        # each slot's last committed token (the pending token at
+        # hist[hlen-1] — emitted but not yet consumed, exactly what
+        # decode_greedy_steps expects; dead slots decode along and are
+        # ignored at commit, same as the frozen-active verify rounds).
+        # Greedy-exact: same tokens as continuing to speculate.
+        hlen_np = np.asarray(jax.device_get(hlen))
+        used = int(np.asarray(jax.device_get(cache.lengths)).max())
+        last = jnp.asarray(
+            [int(hist_np[b, int(hlen_np[b]) - 1]) for b in range(B)],
+            jnp.int32)[:, None]
+        while not all(done):
+            n = min(32, max(max_new_tokens - new_counts[b]
+                            for b in range(B) if not done[b]),
+                    max_len - 1 - used)
+            if n <= 0:  # cache headroom exhausted (cannot happen at the
+                break   # default slack; defensive for tiny R*k)
+            toks, cache = decode_greedy_steps(params, last, cache, n=n,
+                                              cfg=cfg, qcfg=qcfg)
+            used += n
+            toks_np = np.asarray(toks)
+            for b in range(B):
+                if done[b]:
+                    continue
+                for t in toks_np[b]:
+                    if done[b]:
+                        break
+                    _commit(b, t)
+            last = toks[:, -1:]
+
+    stats = {
+        "mean_accepted": acc_sum / acc_n if acc_n else 0.0,
+        "live_rounds": acc_n,
+        "rounds": n_rounds,
+        "fell_back": fell_back,
+    }
+    return hist, stats

@@ -42,6 +42,7 @@ in per-program overheads; TB adapts to the VMEM budget.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -50,6 +51,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+
+# Latched ONCE at import (see supported()): jit caches key on static args,
+# so a mid-process env flip would be silently ignored by compiled code.
+_FUSED_ATTN_OPTIN = bool(os.environ.get("LLMC_FUSED_ATTN"))
 
 
 def _row_quant_i8(x):
@@ -158,7 +163,10 @@ def _kernel_stats(layer_ref, mlen_ref, pos_ref, w_ref, qi_ref, qs_ref,
         m   = max(m_main, m_f)
         a   = max(wmax_main, wfm' * exp(m_f - m)) / 127   (clamped)
         pi  = round(w_main / a);  o32 = pi . V_main
-        out = o32 (f32-exact: <= 127^2 * S < 2^24), plus (m, a, sum_main)
+        out = o32 as f32 (exact only while 127^2 * S < 2^24, i.e.
+              S < 1040; larger windows round the int32 partial sums at
+              ~1e-7 relative — inside the documented ulp-class tolerance
+              of the two-part epilogue), plus (m, a, sum_main)
 
     XLA then requantizes the fresh probs with the SAME (m, a), adds the
     fresh PV dot, and scales by a / (sum_main + sum_f' * exp(m_f - m)).
@@ -449,10 +457,13 @@ def supported(cfg, S: int) -> bool:
     fresh path (engine/generate._fresh_attention) stays the serving
     default; the kernel remains for read-only windows and future
     fresh-layout work (a (L, B, KV, W, D) layout would allow an 8-sublane
-    read-modify-write slab instead of a full-slice rewrite)."""
-    import os
+    read-modify-write slab instead of a full-slice rewrite).
 
-    if not os.environ.get("LLMC_FUSED_ATTN"):
+    The env var is LATCHED ONCE at module import (like LLMC_SCAN_UNROLL):
+    decode_greedy_steps jit-caches on static args only, so a mid-process
+    flip would silently not apply to already-compiled executables —
+    per-process determinism is the honest contract (ADVICE r4)."""
+    if not _FUSED_ATTN_OPTIN:
         return False
     if cfg.pos_embedding == "alibi":
         return False

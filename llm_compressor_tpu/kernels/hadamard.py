@@ -238,35 +238,49 @@ def random_hadamard_matrix(n: int, key) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _fht_kernel(hk_ref, x_ref, out_ref, *, n: int, K: int, scale: float):
-    x = x_ref[...].astype(jnp.float32)   # (TB, n)
-    m = n // K
+def _fht_kernel(h128_ref, x_ref, out_ref, *, n: int, m: int, scale: float):
+    """H_m on each of the row's n/m blocks, Kronecker-split for Mosaic:
+
+        H_m = H_{m/128} (x) H_128   (Sylvester is Kronecker-associative)
+
+    The H_128 factor runs as ONE (TB*n/128, 128) @ (128, 128) MXU matmul
+    (H_128 is symmetric, so no transpose); the m/128 block factor runs as
+    a sublane butterfly whose reshapes keep the lane dim pinned at 128.
+    The previous in-kernel butterfly reshaped down to (..., 2, h) with
+    h = 1, 2, 4... — lane dims Mosaic cannot tile; it never lowered
+    on-chip (caught by scripts/tpu_smoke.py, round 5)."""
+    x = x_ref[...].astype(jnp.float32)                 # (TB, n)
     tb = x.shape[0]
-    if m > 1:
-        x = x.reshape(tb * K, m) if K > 1 else x
-        h = 1
-        while h < m:
-            x = x.reshape(-1, m // (2 * h), 2, h)
-            a = x[..., 0, :]
-            b = x[..., 1, :]
-            x = jnp.stack([a + b, a - b], axis=-2)
-            h *= 2
-        x = x.reshape(tb, K, m) if K > 1 else x.reshape(tb, n)
-    if K > 1:
-        Hk = hk_ref[...]
-        x = jax.lax.dot_general(
-            x.reshape(tb, K, m).transpose(0, 2, 1).reshape(tb * m, K), Hk.T,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(tb, m, K).transpose(0, 2, 1).reshape(tb, n)
-    out_ref[...] = (x * scale).astype(out_ref.dtype)
+    mp = m // 128
+    x = jax.lax.dot_general(                           # lanes: H_128 (MXU)
+        x.reshape(tb * (n // 128), 128), h128_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # sublane butterfly over the mp 128-lane blocks of each m-chunk
+    x = x.reshape(tb * (n // m), mp, 128)
+    h = 1
+    while h < mp:
+        x = x.reshape(-1, mp // (2 * h), 2, h, 128)
+        a = x[:, :, 0]
+        b = x[:, :, 1]
+        x = jnp.stack([a + b, a - b], axis=2)
+        h *= 2
+    out_ref[...] = (x.reshape(tb, n) * scale).astype(out_ref.dtype)
 
 
 def hadamard_transform_pallas(x: jnp.ndarray, scale: float | None = None,
                               block_rows: int = 256) -> jnp.ndarray:
-    """Pallas FHT over the last axis; rows are tiled over the grid."""
+    """Pallas FHT over the last axis; rows are tiled over the grid.
+
+    The kernel covers the power-of-two factor when it is 128-divisible
+    (every hot rotation dim: hidden 2048/4096/8192...); a non-pow2 base
+    K (12/20/28... — calibration-only dims) contracts in XLA around the
+    kernel, and dims whose pow2 factor is below 128 take the pure-XLA
+    path (they are a handful of lanes — nothing for a kernel to win)."""
     n = x.shape[-1]
     K, m = decompose(n)
+    if m % 128 != 0:
+        return hadamard_transform(x, scale)
     s = float(1.0 / np.sqrt(n)) if scale is None else float(scale)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, n)
@@ -276,17 +290,22 @@ def hadamard_transform_pallas(x: jnp.ndarray, scale: float | None = None,
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     interpret = jax.default_backend() != "tpu"
-    Hk = jnp.asarray(base_hadamard(max(K, 1)), dtype=jnp.float32)
+    h128 = hadamard_transform(jnp.eye(128, dtype=jnp.float32), scale=1.0)
     out = pl.pallas_call(
-        partial(_fht_kernel, n=n, K=K, scale=s),
+        partial(_fht_kernel, n=n, m=m, scale=s),
         grid=(x2.shape[0] // TB,),
         in_specs=[
-            pl.BlockSpec((max(K, 1), max(K, 1)), lambda i: (0, 0),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TB, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         interpret=interpret,
-    )(Hk, x2)
-    return out[:B].reshape(*lead, n)
+    )(h128, x2)
+    out = out[:B]
+    if K > 1:   # base contraction in XLA (MXU; K is small and static)
+        Hk = jnp.asarray(base_hadamard(K), dtype=out.dtype)
+        out = jnp.einsum("kl,blm->bkm", Hk,
+                         out.reshape(B, K, m)).reshape(B, n)
+    return out.reshape(*lead, n)

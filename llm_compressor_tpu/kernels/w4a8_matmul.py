@@ -398,9 +398,10 @@ def _w4a8_kernel_gateup_silu(li_ref, x_ref, wg_ref, wu_ref, stg_ref,
     program fetches the PAIRED gate and up weight tiles (two views into
     the same stacked buffer, offset index maps), keeps both accumulators
     in VMEM, and writes only the activated (TM, TN) h tile. Numerics:
-    identical values to [kernel gateup] -> bf16 -> silu*mul in bf16 (the
-    epilogue casts each half with the act scale exactly like the plain
-    kernel before applying the activation)."""
+    each half is rounded through the out dtype with the act scale exactly
+    like the plain kernel, but the activation epilogue runs in f32 with a
+    single final round (the split path rounds per HLO op) — equal to the
+    split path within a few out-dtype ulps."""
     k = pl.program_id(2)
     gpk = tk // group
     half = group // 2
@@ -422,8 +423,16 @@ def _w4a8_kernel_gateup_silu(li_ref, x_ref, wg_ref, wu_ref, stg_ref,
     @pl.when(k == nk - 1)
     def _():
         sx = sx_ref[...]
-        g = (acc_g[...] * sx).astype(out_ref.dtype)
-        u = (acc_u[...] * sx).astype(out_ref.dtype)
+        # Epilogue stays in f32: Mosaic cannot lower bf16 transcendentals
+        # (silu/gelu on a bf16 vector trips a 'vector.broadcast f32->bf16'
+        # verifier error on-chip — BENCH_r04). Each half is rounded through
+        # the out dtype first so the activation sees the same quantized
+        # values the split path's kernel output carries; the activation
+        # itself then runs in f32 with ONE final round at the store
+        # (split path: per-HLO bf16 rounds) — within a few out-dtype ulps
+        # of the split path, asserted in test_fused_gateup_silu_matches_split.
+        g = (acc_g[...] * sx).astype(out_ref.dtype).astype(jnp.float32)
+        u = (acc_u[...] * sx).astype(out_ref.dtype).astype(jnp.float32)
         if act in ("silu", "swish"):
             h = jax.nn.silu(g) * u
         elif act in ("gelu", "gelu_python"):

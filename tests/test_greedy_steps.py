@@ -17,8 +17,8 @@ from llm_compressor_tpu.models import fuse_model, init_params, stack_model, tiny
 from llm_compressor_tpu.qformats import build_quant_config
 
 
-def _setup(packed: bool, hidden=64, inter=128, vocab=256):
-    cfg = tiny_config("llama", hidden_size=hidden, intermediate_size=inter,
+def _setup(packed: bool, hidden=64, inter=128, vocab=256, arch="llama"):
+    cfg = tiny_config(arch, hidden_size=hidden, intermediate_size=inter,
                       num_heads=4, num_kv_heads=2, head_dim=hidden // 4,
                       num_layers=2, vocab_size=vocab)
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -31,9 +31,14 @@ def _setup(packed: bool, hidden=64, inter=128, vocab=256):
     return cfg, params, qcfg
 
 
-@pytest.mark.parametrize("packed", [False, True])
-def test_fresh_path_matches_per_step_decode(packed):
-    cfg, params, qcfg = _setup(packed)
+@pytest.mark.parametrize("packed,arch", [(False, "llama"), (True, "llama"),
+                                         (True, "gemma2")])
+def test_fresh_path_matches_per_step_decode(packed, arch):
+    # gemma2 pins the softcap ordering: the fresh path must cap raw scores
+    # BEFORE the NEG_INF mask (cap-after-mask put masked lanes at -cap and
+    # leaked attention mass — ADVICE r4 medium); its sliding_window=8 also
+    # exercises the window mask in both paths.
+    cfg, params, qcfg = _setup(packed, arch=arch)
     toks = np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 6)).astype(np.int32)
     n = 4

@@ -90,11 +90,13 @@ def test_speculative_matches_greedy(qspec):
 
     ref = generate(params, cfg, prompts, max_new_tokens=10, qcfg=qcfg,
                    quantized_kv=True)
-    hist, acc = generate_speculative(params, cfg, prompts, max_new_tokens=10,
-                                     k_draft=3, qcfg=qcfg, quantized_kv=True)
+    hist, stats = generate_speculative(params, cfg, prompts,
+                                       max_new_tokens=10, k_draft=3,
+                                       qcfg=qcfg, quantized_kv=True)
     for b in range(2):
         np.testing.assert_array_equal(np.asarray(hist[b]), ref[b])
-    assert 0.0 <= acc <= 3.0
+    assert 0.0 <= stats["mean_accepted"] <= 3.0
+    assert stats["live_rounds"] <= stats["rounds"]
 
 
 def test_device_draft_matches_host_proposer():
@@ -123,7 +125,27 @@ def test_speculative_accepts_on_repetitive_text():
     cfg = tiny_config("llama", num_layers=2, dtype="float32")
     params = init_params(cfg, jax.random.PRNGKey(2))
     base = np.array([3, 1, 4, 1, 5] * 4, np.int32)[None, :]
-    hist, acc = generate_speculative(params, cfg, base, max_new_tokens=12,
-                                     k_draft=4)
+    hist, stats = generate_speculative(params, cfg, base, max_new_tokens=12,
+                                       k_draft=4, accept_floor=0)
     assert len(hist[0]) == base.shape[1] + 12
-    assert acc >= 0.0  # tracked; >0 on genuinely loopy outputs
+    assert stats["mean_accepted"] >= 0.0  # >0 on genuinely loopy outputs
+
+
+def test_speculative_fallback_is_greedy_exact():
+    """The break-even autotuner (VERDICT r4 item 6): with an accept floor
+    no draft can meet, the loop switches to scan decode mid-stream — the
+    emitted tokens must still equal plain greedy decoding exactly."""
+    cfg = tiny_config("llama", num_layers=2, dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(5)
+    prompts = rng.integers(0, cfg.vocab_size, (2, 7)).astype(np.int32)
+
+    ref = generate(params, cfg, prompts, max_new_tokens=24,
+                   quantized_kv=True)
+    hist, stats = generate_speculative(
+        params, cfg, prompts, max_new_tokens=24, k_draft=3,
+        quantized_kv=True, accept_floor=4.0, floor_window=2,
+        rounds_per_dispatch=2)
+    assert stats["fell_back"]
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(hist[b]), ref[b])

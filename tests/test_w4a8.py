@@ -195,9 +195,12 @@ def test_unpack_modes_agree(rng, monkeypatch):
 
 def test_fused_gateup_silu_matches_split(rng):
     """gateup_silu_matmul (fused gate|up + activation kernel) ==
-    [stacked gateup kernel] -> bf16 -> silu(g)*u, bitwise in interpret
-    mode (the fused epilogue casts each half with the act scale exactly
-    like the plain kernel before activating)."""
+    [stacked gateup kernel] -> bf16 -> silu(g)*u within a few bf16 ulps.
+    The fused epilogue rounds each half through bf16 with the act scale
+    exactly like the plain kernel, but the activation runs in f32 with a
+    single final round (Mosaic can't lower bf16 transcendentals —
+    BENCH_r04's on-chip crash), while the split path rounds per HLO op —
+    so equality is ulp-class, not bitwise."""
     import jax
 
     from llm_compressor_tpu.kernels.w4a8_matmul import (
@@ -225,4 +228,7 @@ def test_fused_gateup_silu_matches_split(rng):
             np.float32)
         y = w4a8_matmul(x, stacked, layer=jnp.int32(li))   # (M, 2I) bf16
         ref = np.asarray(jax.nn.silu(y[:, :I]) * y[:, I:], np.float32)
-        np.testing.assert_array_equal(got, ref)
+        # bf16 has ~2^-8 relative precision; allow a few ulps of divergence
+        # from the per-op-rounded split path.
+        np.testing.assert_allclose(got, ref, rtol=2e-2,
+                                   atol=2e-2 * np.abs(ref).max())
