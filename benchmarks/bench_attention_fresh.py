@@ -62,8 +62,9 @@ def main():
     vc = jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, S)).astype(np.int8))
     ks = jnp.asarray(rng.uniform(.001, .02, (L, B, KV, 1, S)).astype(np.float32))
     vs = jnp.asarray(rng.uniform(.001, .02, (L, B, KV, 1, S)).astype(np.float32))
-    kf = jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, W)).astype(np.int8))
-    vf = jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, W)).astype(np.int8))
+    # round-5 FreshKV layout: codes (L, B, KV, W, D), step on sublanes
+    kf = jnp.asarray(rng.integers(-127, 128, (L, B, KV, W, D)).astype(np.int8))
+    vf = jnp.asarray(rng.integers(-127, 128, (L, B, KV, W, D)).astype(np.int8))
     ksf = jnp.asarray(rng.uniform(.001, .02, (L, B, KV, 1, W)).astype(np.float32))
     vsf = jnp.asarray(rng.uniform(.001, .02, (L, B, KV, 1, W)).astype(np.float32))
     len0 = jnp.full((B,), S - 2, jnp.int32)
@@ -81,6 +82,13 @@ def main():
     dotv = lambda a, b: jax.lax.dot_general(
         a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)
+    # round-5 fresh layout (W on sublanes): qk contracts dim 3, pv dim 2
+    dots_f = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
+    dotv_f = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
 
     def single(li, q, w, bufs):
         kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
@@ -96,7 +104,7 @@ def main():
         kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
         qi, qs = row_quant(q)
         s_m = dots(qi, kc[li]).astype(jnp.float32) * qs * ks[li] * scale
-        s_f = dots(qi, kf[li]).astype(jnp.float32) * qs * ksf[li] * scale
+        s_f = dots_f(qi, kf[li]).astype(jnp.float32) * qs * ksf[li] * scale
         pos = len0 + t
         sm_ids = jnp.arange(S)[None, :]
         sf_ids = jnp.arange(W)[None, :]
@@ -111,7 +119,7 @@ def main():
         s_m = jnp.where(keep_m[:, None, None, :], s_m, NEG_INF)
         s_f = jnp.where(keep_f[:, None, None, :], s_f, NEG_INF)
         pis, osc = _i8_softmax_requant([s_m, s_f], [vs[li], vsf[li]], None)
-        o32 = dotv(pis[0], vc[li]) + dotv(pis[1], vf[li])
+        o32 = dotv(pis[0], vc[li]) + dotv_f(pis[1], vf[li])
         return o32.astype(jnp.float32) * osc
 
     def fresh2_bf16(li, q, w, bufs):
@@ -130,8 +138,16 @@ def main():
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
             dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32)
+        dots_bf = lambda a, b: jax.lax.dot_general(
+            a, b.astype(jnp.bfloat16),
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+        dotv_bf = lambda a, b: jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
         s_m = dots_b(qb, kc[li]) * qs * ks[li] * scale
-        s_f = dots_b(qb, kf[li]) * qs * ksf[li] * scale
+        s_f = dots_bf(qb, kf[li]) * qs * ksf[li] * scale
         pos = len0 + t
         sm_ids = jnp.arange(S)[None, :]
         sf_ids = jnp.arange(W)[None, :]
@@ -142,14 +158,14 @@ def main():
         s_m = jnp.where(keep_m[:, None, None, :], s_m, NEG_INF)
         s_f = jnp.where(keep_f[:, None, None, :], s_f, NEG_INF)
         pis, osc = _i8_softmax_requant([s_m, s_f], [vs[li], vsf[li]], None)
-        o32 = dotv_b(pis[0], vc[li]) + dotv_b(pis[1], vf[li])
+        o32 = dotv_b(pis[0], vc[li]) + dotv_bf(pis[1], vf[li])
         return o32 * osc
 
     def freshcat(li, q, w, bufs):
         kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
         qi, qs = row_quant(q)
-        kcat = jnp.concatenate([kc[li], kf[li]], axis=-1)
-        vcat = jnp.concatenate([vc[li], vf[li]], axis=-1)
+        kcat = jnp.concatenate([kc[li], jnp.swapaxes(kf[li], 2, 3)], axis=-1)
+        vcat = jnp.concatenate([vc[li], jnp.swapaxes(vf[li], 2, 3)], axis=-1)
         kscat = jnp.concatenate([ks[li], ksf[li]], axis=-1)
         vscat = jnp.concatenate([vs[li], vsf[li]], axis=-1)
         s = dots(qi, kcat).astype(jnp.float32) * qs * kscat * scale
@@ -189,9 +205,9 @@ def main():
                     # lane write AFTER the kernel read (chained through o
                     # so it cannot be hoisted above the read's consumer)
                     nk = jnp.clip(jnp.round(
-                        jnp.swapaxes(o[:, :, :1, :], 2, 3) * 8), -127, 127
-                    ).astype(jnp.int8)
-                    idx = (li, 0, 0, 0, t)
+                        o[:, :, :1, :] * 8), -127, 127
+                    ).astype(jnp.int8)              # (B, KV, 1, D)
+                    idx = (li, 0, 0, t, 0)          # sublane-slab write
                     kf = jax.lax.dynamic_update_slice(kf, nk[None], idx)
                     vf = jax.lax.dynamic_update_slice(vf, nk[None], idx)
                     q = (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype)
@@ -221,51 +237,15 @@ def main():
                 def layer(c, li):
                     q, kf, vf, ksf, vsf = c
                     if write_lane:
-                        idx = (li, 0, 0, 0, t)
+                        idx = (li, 0, 0, t, 0)      # sublane-slab write
                         kf = jax.lax.dynamic_update_slice(
-                            kf, kf[:1, :, :, :, :1] ^ 1, idx)
+                            kf, kf[:1, :, :, :1, :] ^ 1, idx)
                         vf = jax.lax.dynamic_update_slice(
-                            vf, vf[:1, :, :, :, :1] ^ 1, idx)
+                            vf, vf[:1, :, :, :1, :] ^ 1, idx)
                     o = decode_attention(q, kc, vc, ks, vs, li, len0,
                                          len0 + t, w, t,
                                          fresh=(kf, vf, ksf, vsf),
                                          scale=scale)
-                    q = (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype)
-                    return (q, kf, vf, ksf, vsf), None
-
-                c, _ = jax.lax.scan(layer, carry, jnp.arange(L))
-                return c
-
-            q, *_ = jax.lax.fori_loop(0, args.outer, outer,
-                                      (q, kf, vf, ksf, vsf))
-            return q
-
-        return lambda q, w: run(q, w, bufs0)
-
-    from llm_compressor_tpu.kernels.decode_attention import fresh_write
-
-    def make_pallas_update(alias=True):
-        """Fused write+attend kernel with fresh buffers as scan carry and
-        input_output_aliases — the engine's round-4 serving structure.
-        alias=False is a TIMING-ONLY probe (wrong values)."""
-        @jax.jit
-        def run(q, w, bufs):
-            kc, vc, ks, vs, kf, vf, ksf, vsf = bufs
-
-            def outer(i, carry):
-                q, kf, vf, ksf, vsf = carry
-
-                def layer(c, li):
-                    q, kf, vf, ksf, vsf = c
-                    nk = jnp.clip(jnp.round(
-                        jnp.swapaxes(q[:, :, :1, :], 2, 3) * 8), -127, 127
-                    ).astype(jnp.int8)                  # (B, KV, D, 1)
-                    nks = jnp.abs(q[:, :, :1, :1]) * .01 + 1e-4
-                    kf, vf, ksf, vsf = fresh_write(
-                        (kf, vf, ksf, vsf), (nk, nk, nks, nks), li, t)
-                    o = decode_attention(
-                        q, kc, vc, ks, vs, li, len0, len0 + t, w, t,
-                        fresh=(kf, vf, ksf, vsf), scale=scale)
                     q = (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype)
                     return (q, kf, vf, ksf, vsf), None
 
@@ -319,7 +299,13 @@ def main():
                 "pallas2": make(pallas2),
                 "pallas2_carry": make_pallas_carry(False),
                 "pallas2_write": make_pallas_carry(True),
-                "pallas3_update": make_pallas_update(),
+                # pallas3_update (round-4 aliased fresh_write probe) was
+                # dropped when FreshKV moved to the (L, B, KV, W, D)
+                # layout: fresh_write still operates on the old
+                # lane-sequence buffers and cannot feed decode_attention
+                # any more. Its recorded number (174-223 us/layer,
+                # docs/serving.md round-4 table) motivated the round-5
+                # fused-append kernel that replaced the approach.
                 "pallas4_wafter": make_pallas_write_after()}
     if only:
         keep = only.split(",")

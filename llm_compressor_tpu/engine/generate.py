@@ -115,6 +115,35 @@ def _attn_kernel_ok(cfg: ModelConfig, S: int, ablate=()) -> bool:
     return supported(cfg, S)
 
 
+# Latched ONCE at import (jit caches key on static args; a mid-process env
+# flip would be silently ignored by compiled code — ADVICE r4). The round-5
+# fused-append attention kernel is DEFAULT-ON: the on-chip A/B never loses
+# and its margin grows with context (same-run, RTT-corrected ms/step vs
+# the XLA two-part path: 5.251/5.361 at S=256, 6.310/6.629 at S=512,
+# 8.018/8.905 at S=1024 — experiments/exp_append_scaling.py, round 5).
+# LLMC_ATTN_APPEND=0 is the kill switch back to the XLA two-part path.
+_ATTN_APPEND_OPTIN = _os.environ.get("LLMC_ATTN_APPEND", "1") != "0"
+
+
+def _append_path_ok(cfg: ModelConfig, cache: KVCache, ablate=()) -> bool:
+    """Static gate for the round-5 fused-append attention kernel: the
+    decode scan's attention + fresh write run as ONE Pallas call per layer
+    with the fresh block threaded as layer-scan ys (see _kernel_append).
+    Same shape support as the read-only kernel; bench ablations "attn"
+    and "append" are handled inside the path; "softmax"/"pv" need the
+    decomposable XLA epilogue."""
+    from ..kernels.decode_attention import append_supported
+    from ..models.layers import _TP
+
+    if not _ATTN_APPEND_OPTIN:
+        return False
+    if _TP["axis"] is not None:
+        return False
+    if {"softmax", "pv"} & set(ablate):
+        return False
+    return append_supported(cfg, cache.max_len)
+
+
 def _project_qkv(lp, cfg: ModelConfig, x, ops: Optional[LayerOps], cos, sin):
     """QKV projection + q/k norms + rope for a (B, T, E) slice ->
     q (B, T, H, D), k/v (B, T, KV, D). Shared by the carried-cache path and
@@ -412,11 +441,17 @@ def _i8_softmax_requant(parts_s, parts_vs, softcap_val=None, ablate=()):
 
 def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
                      fresh: FreshKV, t, len0, ops: LayerOps, cos, sin,
-                     window=None, ablate=()):
+                     window=None, ablate=(), append_mode: bool = False):
     """Decode attention for one (B, 1, E) slice against [read-only main
     cache | fresh block | in-register current token]. Requires the int8
     per-token act config on both attention matmuls (acts_mode is True) and
-    a quantized cache. Returns (out (B, 1, H*D) o-projected, fresh')."""
+    a quantized cache. Returns (out (B, 1, H*D) o-projected, fresh').
+
+    ``append_mode`` (round 5): the FUSED-APPEND kernel path — ``fresh``
+    is then scan-INVARIANT (never written by XLA inside the step) and the
+    second return value is layer ``layer_idx``'s updated fresh slice
+    tuple (kf', vf', ksf', vsf'), which the caller threads through the
+    layer scan as ys (kernels/decode_attention._kernel_append)."""
     B, T, E = x.shape
     ap = lp["attn"]
     H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -429,6 +464,12 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     # an append would store — the merge is bitwise the same)
     kc, ks = _quant_i8(k)                    # (B, KV, D, 1), (B, KV, 1, 1)
     vc, vs = _quant_i8(v)
+
+    if append_mode:
+        return _fresh_attention_append(
+            lp, cfg, layer_idx, q, (kc, vc, ks, vs), cache, fresh, t, len0,
+            ops, window, ablate)
+
     use_kernel = _attn_kernel_ok(cfg, cache.max_len, ablate)
     if "append" not in ablate:
         # the hybrid kernel path reads fresh only from XLA ops, so the
@@ -473,13 +514,13 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
         q_i8, q_s = _row_quant(q4)
         pos = len0 + t
         w = window if window is not None else jnp.int32(0)
-        kf_l = fresh.k[layer_idx]
+        kf_l = fresh.k[layer_idx]                 # (B, KV, W, D)
         vf_l = fresh.v[layer_idx]
-        ksf_l = fresh.k_scale[layer_idx]
+        ksf_l = fresh.k_scale[layer_idx]          # (B, KV, 1, W)
         vsf_l = fresh.v_scale[layer_idx]
-        W = kf_l.shape[-1]
+        W = kf_l.shape[-2]
         s_f = jax.lax.dot_general(
-            q_i8, kf_l, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            q_i8, kf_l, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.int32
         ).astype(jnp.float32) * q_s * ksf_l * eff
         s_f = softcap(s_f, cfg.attn_logit_softcapping)
@@ -502,7 +543,7 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
         pi_f = jnp.clip(jnp.round(w_f * (r_f / a)), -127, 127
                         ).astype(jnp.int8)
         o32f = jax.lax.dot_general(
-            pi_f, vf_l, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            pi_f, vf_l, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.int32)
         denom = sum_m + sum_f * r_f
         out4 = (o32m + o32f.astype(jnp.float32)) * (a / denom)
@@ -517,9 +558,9 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
 
     Km, Vm = cache.k[layer_idx], cache.v[layer_idx]        # (B, KV, D, S)
     ksm, vsm = cache.k_scale[layer_idx], cache.v_scale[layer_idx]
-    Kf, Vf = fresh.k[layer_idx], fresh.v[layer_idx]        # (B, KV, D, W)
+    Kf, Vf = fresh.k[layer_idx], fresh.v[layer_idx]        # (B, KV, W, D)
     ksf, vsf = fresh.k_scale[layer_idx], fresh.v_scale[layer_idx]
-    S, W = Km.shape[-1], Kf.shape[-1]
+    S, W = Km.shape[-1], Kf.shape[-2]
 
     # The current token's K/V were just written into the fresh block at
     # lane t (same _quant_i8 codes), so TWO dots cover [main | fresh+cur]
@@ -541,9 +582,15 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     # and HF gemma2): capping after masking turns masked lanes into -cap
     # (tanh(-1e9/cap)*cap), which leaks attention mass when all real capped
     # scores are very negative (ADVICE r4 medium).
+    # fresh codes are (B, KV, W, D) — step on sublanes — so the qk dot
+    # contracts dim 3 and the pv dot contracts dim 2 (vs 2/3 for the
+    # lane-sequence main cache)
+    dots_f = lambda a, b: jax.lax.dot_general(    # (B,KV,r,D).(B,KV,W,D)
+        a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
     sc = cfg.attn_logit_softcapping
     s_m = softcap(dots(qi, Km).astype(jnp.float32) * qs * ksm * eff, sc)
-    s_f = softcap(dots(qi, Kf).astype(jnp.float32) * qs * ksf * eff, sc)
+    s_f = softcap(dots_f(qi, Kf).astype(jnp.float32) * qs * ksf * eff, sc)
     parts_s = [s_m, s_f]
     parts_keep = [keep_m, keep_f]
     parts_vs = [vsm, vsf]
@@ -566,7 +613,10 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     dotv = lambda a, b: jax.lax.dot_general(      # (B,KV,r,S).(B,KV,D,S)
         a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)
-    o32 = dotv(pis[0], Vm) + dotv(pis[1], Vf)
+    dotv_f = lambda a, b: jax.lax.dot_general(    # (B,KV,r,W).(B,KV,W,D)
+        a, b, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
+    o32 = dotv(pis[0], Vm) + dotv_f(pis[1], Vf)
     if not appended:
         o32 = o32 + dotv(pis[2], vc)                        # int32: exact sum
     out = (o32.astype(jnp.float32) * oscale).astype(x.dtype)
@@ -575,22 +625,73 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
                    slot="o"), fresh
 
 
+def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
+                            cache: KVCache, fresh: FreshKV, t, len0,
+                            ops: LayerOps, window=None, ablate=()):
+    """Fused-append kernel attention core (round 5): ONE Pallas call per
+    layer streams the main window, merges the current token into the
+    fresh block in-register, attends over [main | fresh+current], and
+    returns the layer's updated fresh slices as functional outputs
+    (kernels/decode_attention._kernel_append docstring has the full
+    design rationale). ``fresh`` is read-only here; the caller stacks the
+    returned slices via layer-scan ys into the next step's fresh."""
+    from ..kernels.decode_attention import decode_attention_append
+
+    B, T = q.shape[0], 1
+    ap = lp["attn"]
+    H, KV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
+    r = H // KV
+
+    if "attn" in ablate:  # bench ablation: pass fresh through untouched
+        out = q.reshape(B, T, H * D)
+        sl = (fresh.k[layer_idx], fresh.v[layer_idx],
+              fresh.k_scale[layer_idx], fresh.v_scale[layer_idx])
+        return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                       slot="o"), sl
+
+    q4 = q.reshape(B, KV, r, D).astype(jnp.float32)
+    if cfg.arch == "opt":                    # pre-scaled query (opt.py:113)
+        q4 = q4 * cfg.attn_scale
+        eff = 1.0
+    else:
+        eff = cfg.attn_scale
+    absmax = jnp.max(jnp.abs(q4), axis=-1, keepdims=True)
+    qscale = jnp.maximum(absmax / 127.0, 1e-8)
+    qi = jnp.clip(jnp.round(q4 / qscale), -127, 127).astype(jnp.int8)
+
+    w = window if window is not None else jnp.int32(0)
+    o32, slices = decode_attention_append(
+        qi, qscale, cache, fresh, new_kv, layer_idx, len0, len0 + t, w, t,
+        scale=eff, softcap=cfg.attn_logit_softcapping,
+        merge_new="append" not in ablate)
+    out = o32.astype(q.dtype).reshape(B, T, H * D)
+    return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
+                   slot="o"), slices
+
+
 def _fresh_layer(lp, cfg: ModelConfig, layer_idx: int, x, cache, fresh, t,
-                 len0, ops, cos, sin, window=None, ablate=()):
+                 len0, ops, cos, sin, window=None, ablate=(),
+                 append_mode: bool = False):
+    # ``fresh`` return: updated FreshKV (carry) normally; this layer's
+    # updated slice tuple (layer-scan ys) in append_mode.
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, fresh = _fresh_attention(lp, cfg, layer_idx, normed, cache, fresh,
-                                    t, len0, ops, cos, sin, window, ablate)
+                                    t, len0, ops, cos, sin, window, ablate,
+                                    append_mode)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, fresh
 
     if cfg.do_layer_norm_before:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, fresh = _fresh_attention(lp, cfg, layer_idx, normed, cache, fresh,
-                                    t, len0, ops, cos, sin, window, ablate)
+                                    t, len0, ops, cos, sin, window, ablate,
+                                    append_mode)
     else:
         a, fresh = _fresh_attention(lp, cfg, layer_idx, x, cache, fresh, t,
-                                    len0, ops, cos, sin, window, ablate)
+                                    len0, ops, cos, sin, window, ablate,
+                                    append_mode)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -638,9 +739,37 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
     win_xs = windows if windows is not None else jnp.zeros(
         (cfg.num_layers,), jnp.int32)
 
+    append_mode = _append_path_ok(cfg, cache, ablate)
+    fresh_ys = []
     for s0, s1, ops in scan_segments(cfg, qcfg):
         seg = jax.tree_util.tree_map(lambda x: x[s0:s1], stacked)
         rest, packed = split_packed_stacked(seg)
+
+        if append_mode:
+            # FUSED-APPEND mode (round 5): fresh is scan-INVARIANT (the
+            # kernel reads it via scalar-prefetch layer indexing, nothing
+            # writes it inside the step) and each layer's updated slices
+            # come back as ys — stacked, they ARE the next step's fresh.
+            # No XLA-write/kernel-read pair exists, so neither the
+            # copy-protection (~525 us/layer) nor the aliased-write
+            # serialization (~174 us/layer) of the round-4 table applies.
+            def step_a(hh, xs, ops=ops, packed=packed, s0=s0):
+                lp, li, s_i, w_i = xs
+                lp = reinsert_packed(lp, packed, li - s0)
+                cos = cos_u[s_i] if cos_u is not None else None
+                sin = sin_u[s_i] if sin_u is not None else None
+                w = w_i if windows is not None else None
+                hh, fr_sl = _fresh_layer(lp, cfg, li, hh, cache, fresh, t,
+                                         len0, ops, cos, sin, w, ablate,
+                                         append_mode=True)
+                return hh, fr_sl
+
+            h, ys = jax.lax.scan(
+                step_a, h,
+                (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]),
+                unroll=_scan_unroll(unroll))
+            fresh_ys.append(ys)
+            continue
 
         def step(carry, xs, ops=ops, packed=packed, s0=s0):
             hh, fr = carry
@@ -657,6 +786,11 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
             step, (h, fresh),
             (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]),
             unroll=_scan_unroll(unroll))
+    if append_mode:
+        cat = (fresh_ys[0] if len(fresh_ys) == 1 else
+               tuple(jnp.concatenate([seg[i] for seg in fresh_ys])
+                     for i in range(4)))
+        fresh = FreshKV(k=cat[0], v=cat[1], k_scale=cat[2], v_scale=cat[3])
     if "head" in ablate:
         return h[:, -1, :], fresh
     logits = head(params, cfg, h, qcfg)

@@ -149,10 +149,17 @@ def append_decode(cache: KVCache, layer: int, k, v, positions) -> KVCache:
 
 @struct.dataclass
 class FreshKV:
-    """Per-decode-call K/V accumulator: (L, B, KV, D, W) with the scan step
-    on the lane dim; int8 codes + per-(token, head) scales when quantized
-    (the same `_quant_i8` computation as a per-step append would store —
-    codes bitwise equal; the f32 scales agree to rounding-order ulps, see
+    """Per-decode-call K/V accumulator. Codes (L, B, KV, W, D) with the
+    scan step on the SUBLANE dim and head_dim on lanes — the per-step
+    write is then a (B, KV, 1, D) sublane-slab dynamic_update_slice
+    (lane-dim-full), not a 1-lane column write (the round-4 layout; its
+    write was the obstruction to every fused-kernel arrangement —
+    docs/serving.md round-4 attention table, VERDICT r4 item 3). Scales
+    stay (L, B, KV, 1, W) — step on lanes — because the epilogue
+    broadcasts them across r rows exactly like the main cache scales.
+    int8 codes + per-(token, head) scales when quantized (the same
+    `_quant_i8` computation as a per-step append would store — codes
+    bitwise equal; the f32 scales agree to rounding-order ulps, see
     generate.py's fresh-block notes)."""
     k: jnp.ndarray
     v: jnp.ndarray
@@ -161,12 +168,12 @@ class FreshKV:
 
     @property
     def window(self) -> int:
-        return self.k.shape[4]
+        return self.k.shape[3]
 
 
 def init_fresh(n_layers: int, batch: int, window: int, n_kv: int,
                head_dim: int, quantized: bool, dtype=jnp.bfloat16) -> FreshKV:
-    shape = (n_layers, batch, n_kv, head_dim, window)
+    shape = (n_layers, batch, n_kv, window, head_dim)
     sshape = (n_layers, batch, n_kv, 1, window)
     if quantized:
         return FreshKV(k=jnp.zeros(shape, jnp.int8),
@@ -179,38 +186,51 @@ def init_fresh(n_layers: int, batch: int, window: int, n_kv: int,
 
 def write_fresh(fresh: FreshKV, layer, t, kc, vc, ks=None, vs=None) -> FreshKV:
     """Write one step's already-laid-out K/V — codes-or-values (B, KV, D, 1)
-    (+ scales (B, KV, 1, 1)) — at (layer, lane t): a uniform
-    dynamic_update_slice, in-place under the scan (no scatter)."""
-    idx = (layer, 0, 0, 0, t)
+    (+ scales (B, KV, 1, 1)) — at (layer, sublane-row t for codes, lane t
+    for scales): uniform dynamic_update_slices, in-place under the scan
+    (no scatter). The (B, KV, D, 1) -> (B, KV, 1, D) move is a free
+    reshape (a size-1 dim swap), and the codes write is a full-lane
+    sublane slab."""
+    B, KVh, D, _ = kc.shape
+    row = lambda c: c.reshape(B, KVh, 1, D)
     new = fresh.replace(
-        k=jax.lax.dynamic_update_slice(fresh.k, kc[None].astype(fresh.k.dtype), idx),
-        v=jax.lax.dynamic_update_slice(fresh.v, vc[None].astype(fresh.v.dtype), idx),
+        k=jax.lax.dynamic_update_slice(
+            fresh.k, row(kc)[None].astype(fresh.k.dtype), (layer, 0, 0, t, 0)),
+        v=jax.lax.dynamic_update_slice(
+            fresh.v, row(vc)[None].astype(fresh.v.dtype), (layer, 0, 0, t, 0)),
     )
     if fresh.k_scale is not None:
         new = new.replace(
-            k_scale=jax.lax.dynamic_update_slice(fresh.k_scale, ks[None], idx),
-            v_scale=jax.lax.dynamic_update_slice(fresh.v_scale, vs[None], idx),
+            k_scale=jax.lax.dynamic_update_slice(
+                fresh.k_scale, ks[None], (layer, 0, 0, 0, t)),
+            v_scale=jax.lax.dynamic_update_slice(
+                fresh.v_scale, vs[None], (layer, 0, 0, 0, t)),
         )
     return new
 
 
 def merge_fresh(cache: KVCache, fresh: FreshKV, lengths0, n: int) -> KVCache:
-    """Scatter the first ``n`` fresh lanes into the main cache at per-slot
+    """Scatter the first ``n`` fresh steps into the main cache at per-slot
     positions lengths0 + [0, n) and advance lengths — ONE scatter per
     decode_greedy_steps call instead of one per step."""
     B = cache.batch
     b_idx = jnp.arange(B)[:, None]                     # (B, 1)
     pos = lengths0[:, None] + jnp.arange(n)[None, :]   # (B, n)
 
-    def put(buf, src):  # src (L, B, KV, Dorl, W) -> update (B, n, L, KV, D)
+    def put_codes(buf, src):   # (L, B, KV, W, D) -> update (B, n, L, KV, D)
+        upd = jnp.transpose(src[:, :, :, :n, :], (1, 3, 0, 2, 4))
+        return buf.at[:, b_idx, :, :, pos].set(upd.astype(buf.dtype))
+
+    def put_scales(buf, src):  # (L, B, KV, 1, W) -> update (B, n, L, KV, 1)
         upd = jnp.transpose(src[..., :n], (1, 4, 0, 2, 3))
         return buf.at[:, b_idx, :, :, pos].set(upd.astype(buf.dtype))
 
-    cache = cache.replace(k=put(cache.k, fresh.k), v=put(cache.v, fresh.v),
+    cache = cache.replace(k=put_codes(cache.k, fresh.k),
+                          v=put_codes(cache.v, fresh.v),
                           lengths=lengths0 + n)
     if cache.quantized:
-        cache = cache.replace(k_scale=put(cache.k_scale, fresh.k_scale),
-                              v_scale=put(cache.v_scale, fresh.v_scale))
+        cache = cache.replace(k_scale=put_scales(cache.k_scale, fresh.k_scale),
+                              v_scale=put_scales(cache.v_scale, fresh.v_scale))
     return cache
 
 

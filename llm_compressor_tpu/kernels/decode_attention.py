@@ -28,7 +28,9 @@ folded into the output scale:
     out  = (sum_p pi_p . V_p) * a / sum_p(sum(e_p))
 
 Layout (engine/kvcache.py): main codes (L, B, KV, D, S) int8, sequence on
-the LANE dim; scales (L, B, KV, 1, S) f32; fresh block (L, B, KV, D, W).
+the LANE dim; scales (L, B, KV, 1, S) f32; fresh block codes
+(L, B, KV, W, D) — step on SUBLANES (round 5), so the per-step write is a
+lane-full sublane slab — with scales (L, B, KV, 1, W).
 The layer index, per-slot lengths/window-positions, window size and scan
 step ride as scalar prefetch — the kernel DMAs straight out of the full
 cache buffers (no per-layer slice copy) and one compiled kernel serves
@@ -66,16 +68,22 @@ def _row_quant_i8(x):
     return q, scale
 
 
-def _slot_attention(q, parts, *, scale, softcap):
-    """One slot, all KV heads. ``parts`` = [(k, v, ks, vs, keep), ...] with
-    k/v (KV, D, Sp) int8, ks/vs (KV, 1, Sp) f32, keep (1, 1, Sp) bool.
-    Returns (KV, r, D) f32. Slim epilogue == _i8_softmax_requant."""
-    qi, qs = _row_quant_i8(q)                       # (KV, r, D) int8
+def _slot_attention(q, parts, *, scale, softcap, qi=None, qs=None):
+    """One slot, all KV heads. ``parts`` = [(k, v, ks, vs, keep, sub), ...]
+    with ks/vs (KV, 1, Sp) f32, keep (1, 1, Sp) bool and ``sub`` the
+    layout flag: sub=False -> k/v (KV, D, Sp) (main cache, sequence on
+    lanes); sub=True -> k/v (KV, Sp, D) (FreshKV, sequence on SUBLANES —
+    the round-5 layout whose per-step write is a lane-full sublane slab).
+    Returns (KV, r, D) f32. Slim epilogue == _i8_softmax_requant.
+    ``qi``/``qs`` may be passed pre-quantized (fused-append kernel)."""
+    if qi is None:
+        qi, qs = _row_quant_i8(q)                   # (KV, r, D) int8
 
     ss = []
-    for (k, _v, ks, _vs, keep) in parts:
+    for (k, _v, ks, _vs, keep, sub) in parts:
         s32 = jax.lax.dot_general(                  # (KV, r, Sp) int8 MXU
-            qi, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            qi, k,
+            dimension_numbers=(((2,), (2 if sub else 1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         s = s32.astype(jnp.float32) * qs * ks * scale
         if softcap is not None:
@@ -89,17 +97,18 @@ def _slot_attention(q, parts, *, scale, softcap):
     sum_row = es[0].sum(axis=-1, keepdims=True)
     for e in es[1:]:
         sum_row = sum_row + e.sum(axis=-1, keepdims=True)
-    ws = [e * vs for e, (_k, _v, _ks, vs, _keep) in zip(es, parts)]
+    ws = [e * vs for e, (_k, _v, _ks, vs, _keep, _sub) in zip(es, parts)]
     a = ws[0].max(axis=-1, keepdims=True)
     for w in ws[1:]:
         a = jnp.maximum(a, w.max(axis=-1, keepdims=True))
     a = jnp.maximum(a / 127.0, 1e-8)
 
     o32 = None
-    for w, (_k, v, _ks, _vs, _keep) in zip(ws, parts):
+    for w, (_k, v, _ks, _vs, _keep, sub) in zip(ws, parts):
         pi = jnp.clip(jnp.round(w / a), -127, 127).astype(jnp.int8)
         d = jax.lax.dot_general(                    # (KV, r, D) int8 MXU
-            pi, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            pi, v,
+            dimension_numbers=(((2,), (1 if sub else 2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)
         o32 = d if o32 is None else o32 + d
     return o32.astype(jnp.float32) * (a / sum_row)
@@ -116,7 +125,7 @@ def _kernel(layer_ref, mlen_ref, pos_ref, wt_ref, q_ref, k_ref, v_ref,
     t = wt_ref[1]
     if has_fresh:
         kf_ref, vf_ref, ksf_ref, vsf_ref = rest[:-1]
-        W = kf_ref.shape[-1]
+        W = kf_ref.shape[-2]                        # codes (.., W, D)
     S = k_ref.shape[-1]
 
     for sl in range(tb):
@@ -126,13 +135,13 @@ def _kernel(layer_ref, mlen_ref, pos_ref, wt_ref, q_ref, k_ref, v_ref,
         s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
         keep_m = (s_ids < mlen) & ((w <= 0) | (s_ids > pos - w))
         parts = [(k_ref[0, sl], v_ref[0, sl], ks_ref[0, sl], vs_ref[0, sl],
-                  keep_m)]
+                  keep_m, False)]
         if has_fresh:
             f_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-            base = mlen  # fresh lane j sits at absolute position mlen + j
+            base = mlen  # fresh step j sits at absolute position mlen + j
             keep_f = (f_ids <= t) & ((w <= 0) | ((base + f_ids) > pos - w))
             parts.append((kf_ref[0, sl], vf_ref[0, sl], ksf_ref[0, sl],
-                          vsf_ref[0, sl], keep_f))
+                          vsf_ref[0, sl], keep_f, True))
         out = _slot_attention(q_ref[sl].astype(jnp.float32), parts,
                               scale=scale, softcap=softcap)
         o_ref[sl] = out.astype(o_ref.dtype)
@@ -351,6 +360,164 @@ def fresh_write(fresh, new_kv, layer, t):
                        nk, nv, nks, nvs)
 
 
+def _kernel_append(layer_ref, mlen_ref, pos_ref, wt_ref, qi_ref, qs_ref,
+                   k_ref, v_ref, ks_ref, vs_ref, kf_ref, vf_ref, ksf_ref,
+                   vsf_ref, nkv_ref, nsc_ref,
+                   o_ref, kfo_ref, vfo_ref, ksfo_ref, vsfo_ref, *,
+                   tb: int, scale: float, softcap, merge_new: bool):
+    """FUSED-APPEND decode attention (round 5): one kernel computes the
+    full [main | fresh+current] attention AND emits the updated fresh
+    block as a FUNCTIONAL output (no aliasing).
+
+    This is the design the round-4 layout blocked (docs/serving.md
+    round-4 table): with FreshKV codes (L, B, KV, W, D) the new token is
+    one lane-full sublane row, merged in-register with a select — the
+    kernel never needs an aliased store (which serialized the Mosaic
+    pipeline, 174 us/layer) and no XLA op ever writes a buffer this
+    kernel reads (which made XLA copy-protect the fresh set,
+    525 us/layer). The engine threads the (B, KV, W, D) outputs through
+    the layer scan as ys, which stack to the next step's (L, ...) fresh
+    carry — scan's native output pattern, no copy-protection.
+
+    ``nkv`` (B, KV, 2, D) int8 carries the current token's [kc | vc]
+    code rows; ``nsc`` (B, KV, 2, 8) f32 carries [ks | vs] broadcast
+    over 8 lanes (a lane-safe scalar container: Mosaic cannot slice the
+    lane dim, so the scalar is recovered with a max over equal lanes).
+    ``merge_new=False`` is the bench "append" ablation: attend read-only
+    and pass the fresh block through unchanged."""
+    i = pl.program_id(0)
+    w = wt_ref[0]
+    t = wt_ref[1]
+    S = k_ref.shape[-1]
+    W = kf_ref.shape[-2]
+
+    for sl in range(tb):
+        b = i * tb + sl
+        mlen = mlen_ref[b]
+        pos = pos_ref[b]
+        kf = kf_ref[0, sl]                           # (KV, W, D) int8
+        vf = vf_ref[0, sl]
+        ksf = ksf_ref[0, sl]                         # (KV, 1, W) f32
+        vsf = vsf_ref[0, sl]
+        if merge_new:
+            nkv = nkv_ref[sl]                        # (KV, 2, D) int8
+            nsc = nsc_ref[sl]                        # (KV, 2, 8) f32
+            kc_new = nkv[:, 0, :]                    # (KV, D)
+            vc_new = nkv[:, 1, :]
+            ks_new = jnp.max(nsc[:, 0, :], axis=-1)  # (KV,)
+            vs_new = jnp.max(nsc[:, 1, :], axis=-1)
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+            kf = jnp.where(sub_ids == t, kc_new[:, None, :], kf)
+            vf = jnp.where(sub_ids == t, vc_new[:, None, :], vf)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+            ksf = jnp.where(lane_ids == t, ks_new[:, None, None], ksf)
+            vsf = jnp.where(lane_ids == t, vs_new[:, None, None], vsf)
+
+        s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        keep_m = (s_ids < mlen) & ((w <= 0) | (s_ids > pos - w))
+        f_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+        f_lim = f_ids <= t if merge_new else f_ids < t
+        keep_f = f_lim & ((w <= 0) | ((mlen + f_ids) > pos - w))
+        parts = [(k_ref[0, sl], v_ref[0, sl], ks_ref[0, sl], vs_ref[0, sl],
+                  keep_m, False),
+                 (kf, vf, ksf, vsf, keep_f, True)]
+        out = _slot_attention(None, parts, scale=scale, softcap=softcap,
+                              qi=qi_ref[sl],
+                              qs=qs_ref[sl].astype(jnp.float32))
+        o_ref[sl] = out.astype(o_ref.dtype)
+        kfo_ref[sl] = kf
+        vfo_ref[sl] = vf
+        ksfo_ref[sl] = ksf
+        vsfo_ref[sl] = vsf
+
+
+@partial(jax.jit, static_argnames=("scale", "softcap", "merge_new"))
+def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
+                 kf, vf, ksf, vsf, nkv, nsc, *, scale, softcap,
+                 merge_new=True):
+    B, KV, r, D = qi.shape
+    S = kc.shape[-1]
+    W = kf.shape[-2]
+    tb = _pick_tb(B, KV, D, S, W)
+    interpret = jax.default_backend() != "tpu"
+
+    def blk_l(shape3):
+        return pl.BlockSpec((1, tb) + shape3,
+                            lambda i, l, *_: (l[0], i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def blk_b(shape3):
+        return pl.BlockSpec((tb,) + shape3, lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # layer, mlen, pos, [window, t]
+        grid=(B // tb,),
+        in_specs=[blk_b((KV, r, D)), blk_b((KV, r, 1)),
+                  blk_l((KV, D, S)), blk_l((KV, D, S)),
+                  blk_l((KV, 1, S)), blk_l((KV, 1, S)),
+                  blk_l((KV, W, D)), blk_l((KV, W, D)),
+                  blk_l((KV, 1, W)), blk_l((KV, 1, W)),
+                  blk_b((KV, 2, D)), blk_b((KV, 2, 8))],
+        out_specs=(blk_b((KV, r, D)),
+                   blk_b((KV, W, D)), blk_b((KV, W, D)),
+                   blk_b((KV, 1, W)), blk_b((KV, 1, W))),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, KV, r, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
+        jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
+        jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32),
+    )
+    nbytes = 2 * B * KV * (D + 4) * S + 4 * B * KV * (D + 4) * W
+    return pl.pallas_call(
+        partial(_kernel_append, tb=tb, scale=scale, softcap=softcap,
+                merge_new=merge_new),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KV * r * (S + W) * D,
+            bytes_accessed=nbytes,
+            transcendentals=B * KV * r * (S + W),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer], jnp.int32).ravel(), mlen, pos, wt,
+      qi, qs, kc, vc, ks, vs, kf, vf, ksf, vsf, nkv, nsc)
+
+
+def decode_attention_append(qi, qs, cache, fresh, new_kv, layer, main_len,
+                            pos, window, t, *, scale: float, softcap=None,
+                            merge_new: bool = True):
+    """Fused-append attention (see _kernel_append): returns
+    (o32 (B, KV, r, D) f32, (kf', vf', ksf', vsf') — layer ``layer``'s
+    updated fresh slices, to be stacked as layer-scan ys).
+
+    ``qi``/``qs`` from the engine's XLA row quant (bitwise the XLA
+    path's). ``new_kv`` = (kc (B, KV, D, 1) int8, vc, ks (B, KV, 1, 1)
+    f32, vs) — the current token exactly as write_fresh would store it."""
+    kc, vc, ks, vs = new_kv
+    B, KV, D, _ = kc.shape
+    nkv = jnp.concatenate([kc.reshape(B, KV, 1, D),
+                           vc.reshape(B, KV, 1, D)], axis=2)
+    nsc = jnp.broadcast_to(
+        jnp.concatenate([ks, vs], axis=2), (B, KV, 2, 8))
+    wt = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
+                    jnp.asarray(t, jnp.int32).reshape(())])
+    o32, kf, vf, ksf, vsf = _call_append(
+        jnp.asarray(layer, jnp.int32), main_len.astype(jnp.int32),
+        pos.astype(jnp.int32), wt, qi, qs.astype(jnp.float32),
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        fresh.k, fresh.v, fresh.k_scale, fresh.v_scale, nkv, nsc,
+        scale=float(scale),
+        softcap=None if softcap is None else float(softcap),
+        merge_new=merge_new)
+    return o32, (kf, vf, ksf, vsf)
+
+
 def _pick_tb(B: int, KV: int, D: int, S: int, W: int,
              budget=4 * 1024 * 1024) -> int:
     per_slot = KV * ((2 * D + 8) * (S + W))
@@ -366,7 +533,7 @@ def _call(layer, mlen, pos, wt, q, kc, vc, ks, vs, fresh_bufs, *, scale,
           softcap, has_fresh, out_dtype):
     B, KV, r, D = q.shape
     S = kc.shape[-1]
-    W = fresh_bufs[0].shape[-1] if has_fresh else 0
+    W = fresh_bufs[0].shape[-2] if has_fresh else 0  # codes (L,B,KV,W,D)
     tb = _pick_tb(B, KV, D, S, W)
     interpret = jax.default_backend() != "tpu"
 
@@ -383,9 +550,9 @@ def _call(layer, mlen, pos, wt, q, kc, vc, ks, vs, fresh_bufs, *, scale,
                      memory_space=pltpu.VMEM),
     ]
     fresh_specs = [
-        pl.BlockSpec((1, tb, KV, D, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
+        pl.BlockSpec((1, tb, KV, W, D), lambda i, l, *_: (l[0], i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tb, KV, D, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
+        pl.BlockSpec((1, tb, KV, W, D), lambda i, l, *_: (l[0], i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tb, KV, 1, W), lambda i, l, *_: (l[0], i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -427,9 +594,10 @@ def decode_attention(q, cache_k, cache_v, k_scale, v_scale, layer, main_len,
     ``cache_*``: (L, B, KV, D, S) int8 codes + (L, B, KV, 1, S) f32 scales.
     ``main_len`` (B,): main lanes s < main_len attend. ``pos`` (B,): the
     current token's absolute position (window mask: s > pos - window).
-    ``fresh``: optional (kf, vf, ksf, vsf) FreshKV buffers (L, B, KV, D, W)
-    — fresh lane j attends for j <= ``t``. ``layer``/``window``/``t`` may
-    be traced scalars (scan data)."""
+    ``fresh``: optional (kf, vf, ksf, vsf) FreshKV buffers — codes
+    (L, B, KV, W, D) (step on sublanes, the round-5 layout), scales
+    (L, B, KV, 1, W) — fresh step j attends for j <= ``t``.
+    ``layer``/``window``/``t`` may be traced scalars (scan data)."""
     wt = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
                     jnp.asarray(t, jnp.int32).reshape(())])
     return _call(jnp.asarray(layer, jnp.int32), main_len.astype(jnp.int32),
@@ -438,6 +606,18 @@ def decode_attention(q, cache_k, cache_v, k_scale, v_scale, layer, main_len,
                  scale=float(scale),
                  softcap=None if softcap is None else float(softcap),
                  has_fresh=fresh is not None, out_dtype=out_dtype)
+
+
+def append_supported(cfg, S: int) -> bool:
+    """Shape gate for the round-5 fused-append kernel (_kernel_append):
+    int8 cache decode, no ALiBi (BLOOM's bias over absolute positions
+    stays on the XLA path), 128-aligned main window, 8-aligned head dim,
+    uniform GQA. Env gating lives in engine.generate._ATTN_APPEND_OPTIN
+    (latched at import)."""
+    if cfg.pos_embedding == "alibi":
+        return False
+    return (S % 128 == 0 and cfg.head_dim % 8 == 0
+            and cfg.num_heads % cfg.num_kv_heads == 0)
 
 
 def supported(cfg, S: int) -> bool:

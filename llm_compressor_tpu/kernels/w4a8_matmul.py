@@ -63,6 +63,9 @@ from ..qformats.qtensor import QTensor
 import os as _os
 
 _UNPACK = _os.environ.get("LLMC_INT4_UNPACK", "i32")
+# Latched ONCE at import (jit caches key on static args — a mid-process
+# env flip is silently ignored by compiled code, ADVICE r4):
+_NO_FUSED_MLP = bool(_os.environ.get("LLMC_NO_FUSED_MLP"))
 
 
 def _cdiv(a, b):
@@ -534,10 +537,9 @@ def gateup_silu_matmul(x: jnp.ndarray, qt: QTensor, act: str, layer):
 
 
 def gateup_silu_ok(qt: QTensor, act: str) -> bool:
-    """Static gate for the fused gateup+activation kernel."""
-    import os
-
-    if os.environ.get("LLMC_NO_FUSED_MLP"):
+    """Static gate for the fused gateup+activation kernel.
+    LLMC_NO_FUSED_MLP is latched once at module import."""
+    if _NO_FUSED_MLP:
         return False
     if act not in _GATED_ACTS or not supported(qt):
         return False

@@ -352,10 +352,13 @@ def _try_fused_gateup(cfg: ModelConfig, mp, x, gop, taps):
         gateup_silu_matmul,
         gateup_silu_ok,
     )
-    from ..models.layers import _TP
 
-    if _TP["axis"] is not None:  # TP shards interleave rows differently
-        return None
+    # Under shard_map TP the LOCAL gateup slice is its own [gate_s | up_s]
+    # concat (fuse_model's shards= interleave, enforced by parallel/tp.py),
+    # so the fused kernel applies unchanged to the local shapes — the
+    # silu(gate)*up epilogue is elementwise per output row and the K dim
+    # is unsharded (column-parallel), so per-row values match the global
+    # kernel bitwise (tests/test_tp_shardmap.py).
     if not gateup_silu_ok(w.qt, cfg.hidden_act):
         return None
     m_rows = _math.prod(x.shape[:-1])

@@ -207,6 +207,33 @@ def main():
             jax.jit(hadamard_transform_pallas).lower(x).compile()
     g_had()
 
+    @gate("fused-append decode-attention kernel (round 5)")
+    def g_attn_append():
+        from llm_compressor_tpu.engine.kvcache import init_cache as mk_cache
+        from llm_compressor_tpu.engine.kvcache import init_fresh
+        from llm_compressor_tpu.kernels import decode_attention as da
+        KV, D, S, Wf = cfg.num_kv_heads, cfg.head_dim, 256, 32
+        r = cfg.num_heads // KV
+        L = cfg.num_layers
+        qi = jnp.zeros((batch, KV, r, D), jnp.int8)
+        qsc = jnp.ones((batch, KV, r, 1), jnp.float32)
+        c = mk_cache(L, batch, S, KV, D, quantized=True)
+        fr = init_fresh(L, batch, Wf, KV, D, quantized=True)
+        new_kv = (jnp.zeros((batch, KV, D, 1), jnp.int8),
+                  jnp.zeros((batch, KV, D, 1), jnp.int8),
+                  jnp.ones((batch, KV, 1, 1), jnp.float32),
+                  jnp.ones((batch, KV, 1, 1), jnp.float32))
+        mlen = jnp.full((batch,), 128, jnp.int32)
+        jax.jit(lambda qi, qsc, ck, cv, cks, cvs, fk, fv, fks, fvs, nkv:
+                da.decode_attention_append(
+                    qi, qsc, c.replace(k=ck, v=cv, k_scale=cks, v_scale=cvs),
+                    fr.replace(k=fk, v=fv, k_scale=fks, v_scale=fvs),
+                    nkv, jnp.int32(0), mlen, mlen, jnp.int32(0),
+                    jnp.int32(3), scale=float(D) ** -0.5)).lower(
+            qi, qsc, c.k, c.v, c.k_scale, c.v_scale,
+            fr.k, fr.v, fr.k_scale, fr.v_scale, new_kv).compile()
+    g_attn_append()
+
     @gate("fused decode-attention kernel (opt-in LLMC_FUSED_ATTN)")
     def g_attn():
         from llm_compressor_tpu.kernels import decode_attention as da

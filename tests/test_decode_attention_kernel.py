@@ -30,8 +30,9 @@ def data():
         vc=jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, S)).astype(np.int8)),
         ks=jnp.asarray(rng.uniform(.01, .03, (L, B, KV, 1, S)).astype(np.float32)),
         vs=jnp.asarray(rng.uniform(.01, .03, (L, B, KV, 1, S)).astype(np.float32)),
-        kf=jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, W)).astype(np.int8)),
-        vf=jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, W)).astype(np.int8)),
+        # round-5 FreshKV layout: codes (L, B, KV, W, D), step on sublanes
+        kf=jnp.asarray(rng.integers(-127, 128, (L, B, KV, W, D)).astype(np.int8)),
+        vf=jnp.asarray(rng.integers(-127, 128, (L, B, KV, W, D)).astype(np.int8)),
         ksf=jnp.asarray(rng.uniform(.01, .03, (L, B, KV, 1, W)).astype(np.float32)),
         vsf=jnp.asarray(rng.uniform(.01, .03, (L, B, KV, 1, W)).astype(np.float32)),
         q=jnp.asarray(rng.normal(size=(B, KV, r, D)).astype(np.float32)),
@@ -54,8 +55,14 @@ def _xla_reference(d, li, t, window=0, scale=0.35):
     dotv = lambda a, b: jax.lax.dot_general(
         a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)
+    dots_f = lambda a, b: jax.lax.dot_general(     # fresh (B, KV, W, D)
+        a, b, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
+    dotv_f = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)
     s_m = dots(qi, d["kc"][li]).astype(jnp.float32) * qs * d["ks"][li] * scale
-    s_f = dots(qi, d["kf"][li]).astype(jnp.float32) * qs * d["ksf"][li] * scale
+    s_f = dots_f(qi, d["kf"][li]).astype(jnp.float32) * qs * d["ksf"][li] * scale
     len0, w = d["len0"], jnp.int32(window)
     pos = len0 + t
     sm = jnp.arange(S)[None, :]
@@ -66,7 +73,7 @@ def _xla_reference(d, li, t, window=0, scale=0.35):
     s_f = jnp.where(keep_f[:, None, None, :], s_f, NEG)
     pis, osc = _i8_softmax_requant([s_m, s_f], [d["vs"][li], d["vsf"][li]],
                                    None)
-    o32 = dotv(pis[0], d["vc"][li]) + dotv(pis[1], d["vf"][li])
+    o32 = dotv(pis[0], d["vc"][li]) + dotv_f(pis[1], d["vf"][li])
     return o32.astype(jnp.float32) * osc
 
 
@@ -109,7 +116,7 @@ def test_stats_kernel_hybrid_assembly_matches(data):
     li, t, scale = 1, 2, 0.35
     qi, qs = _row_quant(d["q"])
     s_f = jax.lax.dot_general(
-        qi, d["kf"][li], dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        qi, d["kf"][li], dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32
     ).astype(jnp.float32) * qs * d["ksf"][li] * scale
     keep_f = jnp.arange(W)[None, :] <= t
@@ -125,7 +132,7 @@ def test_stats_kernel_hybrid_assembly_matches(data):
     r_f = jnp.exp(m_f - m)
     pi_f = jnp.clip(jnp.round(w_f * (r_f / a)), -127, 127).astype(jnp.int8)
     o32f = jax.lax.dot_general(
-        pi_f, d["vf"][li], dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        pi_f, d["vf"][li], dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)
     got = np.asarray((o32m + o32f.astype(jnp.float32))
                      * (a / (sum_m + sum_f * r_f)))
@@ -137,23 +144,28 @@ def test_stats_kernel_hybrid_assembly_matches(data):
 
 
 def test_fresh_write_matches_dus(data):
+    """fresh_write is the round-4 measured-losing aliased write kernel,
+    kept as benchmark inventory; it operates on lane-sequence (.., D, W)
+    buffers (the pre-round-5 layout), so this test builds its own."""
     d = data
     rng = np.random.default_rng(3)
+    kf = jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, W)).astype(np.int8))
+    vf = jnp.asarray(rng.integers(-127, 128, (L, B, KV, D, W)).astype(np.int8))
     nk = jnp.asarray(rng.integers(-127, 128, (B, KV, D, 1)).astype(np.int8))
     nv = jnp.asarray(rng.integers(-127, 128, (B, KV, D, 1)).astype(np.int8))
     nks = jnp.asarray(rng.uniform(.01, .03, (B, KV, 1, 1)).astype(np.float32))
     nvs = jnp.asarray(rng.uniform(.01, .03, (B, KV, 1, 1)).astype(np.float32))
     li, t = 2, 1
     kfo, vfo, ksfo, vsfo = fresh_write(
-        (d["kf"], d["vf"], d["ksf"], d["vsf"]), (nk, nv, nks, nvs), li, t)
+        (kf, vf, d["ksf"], d["vsf"]), (nk, nv, nks, nvs), li, t)
     idx = (li, 0, 0, 0, t)
-    ref_k = jax.lax.dynamic_update_slice(d["kf"], nk[None], idx)
+    ref_k = jax.lax.dynamic_update_slice(kf, nk[None], idx)
     ref_ks = jax.lax.dynamic_update_slice(d["ksf"], nks[None], idx)
     np.testing.assert_array_equal(np.asarray(kfo), np.asarray(ref_k))
     np.testing.assert_array_equal(np.asarray(ksfo), np.asarray(ref_ks))
     np.testing.assert_array_equal(
         np.asarray(vfo),
-        np.asarray(jax.lax.dynamic_update_slice(d["vf"], nv[None], idx)))
+        np.asarray(jax.lax.dynamic_update_slice(vf, nv[None], idx)))
     np.testing.assert_array_equal(
         np.asarray(vsfo),
         np.asarray(jax.lax.dynamic_update_slice(d["vsf"], nvs[None], idx)))

@@ -83,6 +83,55 @@ def test_fresh_path_matches_per_step_decode(packed, arch):
             err_msg=f"fresh-path merged cache.{name} beyond f32-ulp")
 
 
+@pytest.mark.parametrize("arch", ["llama", "gemma2"])
+def test_append_kernel_path_matches_per_step_decode(arch):
+    """Round-5 fused-append attention kernel (one Pallas call per layer
+    computes [main | fresh+current] attention AND the fresh write, fresh
+    threaded as layer-scan ys; DEFAULT-ON): same tokens as per-step
+    carried decode, bitwise-equal merged cache codes (interpret mode on
+    CPU). Uses max_len=128 — the kernel's S%128 gate — so the XLA-path
+    tests above (max_len 16) keep covering the two-part fallback. gemma2
+    pins softcap + sliding window through the kernel."""
+    import importlib
+
+    # the module name is shadowed by the function in engine/__init__
+    gen = importlib.import_module("llm_compressor_tpu.engine.generate")
+    cfg, params, qcfg = _setup(True, arch=arch)
+    toks = np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (2, 6)).astype(np.int32)
+    n = 4
+
+    def prefilled():
+        cache = init_cache(cfg.num_layers, 2, 128, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(params, jnp.asarray(toks), cache,
+                                cfg=cfg, qcfg=qcfg)
+        return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+    tok, cache = prefilled()
+    assert gen._append_path_ok(cfg, cache)
+    fast_toks, fast_cache = decode_greedy_steps(params, tok, cache, n=n,
+                                                cfg=cfg, qcfg=qcfg)
+
+    tok, cache = prefilled()
+    slow = []
+    for _ in range(n):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        slow.append(np.asarray(tok[:, 0]))
+    np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
+    w = slice(0, toks.shape[1] + n)
+    for name in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast_cache, name))[..., w],
+            np.asarray(getattr(cache, name))[..., w],
+            err_msg=f"append-kernel merged cache.{name} not bitwise equal")
+    for name in ("k_scale", "v_scale"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fast_cache, name))[..., w],
+            np.asarray(getattr(cache, name))[..., w], rtol=1e-6)
+
+
 def test_scan_unroll_is_bitwise_neutral():
     """The layer-scan unroll knob (measured an exact perf tie on the v5e —
     exp_scan_unroll.py — but kept as a tuning knob for other topologies)
