@@ -148,6 +148,28 @@ def main():
             return jax.lax.fori_loop(0, outer, outer_body, q)
         return lambda q, w: run(q, w, bufs0)
 
+    def make_append_o_only():
+        """emit_fresh=False: the kernel does the merge + attention but
+        writes ONLY o — isolates the 4 fresh outputs' cost (the engine
+        cannot use this form standalone; the deferred-write engine form
+        loses to per-call copy-protection, exp_append_defer.py)."""
+        @jax.jit
+        def run(q, w, bufs):
+            cache = mk_cache(bufs)
+            fr = mk_fresh(bufs)
+
+            def outer_body(i, q):
+                def layer(q, li):
+                    qi, qs = row_quant(q)
+                    o, _ = decode_attention_append(
+                        qi, qs, cache, fr, new_kv_from(q), li, len0,
+                        len0 + t, w, t, scale=scale, emit_fresh=False)
+                    return (o / (1.0 + jnp.max(jnp.abs(o)))).astype(q.dtype), None
+                q, _ = jax.lax.scan(layer, q, jnp.arange(L))
+                return q
+            return jax.lax.fori_loop(0, outer, outer_body, q)
+        return lambda q, w: run(q, w, bufs0)
+
     def make_append(consume_ys: bool):
         @jax.jit
         def run(q, w, bufs):
@@ -199,6 +221,7 @@ def main():
         "readonly_k": make_readonly_k(),
         "append_ys": make_append(True),
         "append_noys": make_append(False),
+        "append_o_only": make_append_o_only(),
     }
     only = os.environ.get("APPEND_ONLY", "")
     if only:

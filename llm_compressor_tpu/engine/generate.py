@@ -123,6 +123,25 @@ def _attn_kernel_ok(cfg: ModelConfig, S: int, ablate=()) -> bool:
 # 8.018/8.905 at S=1024 — experiments/exp_append_scaling.py, round 5).
 # LLMC_ATTN_APPEND=0 is the kill switch back to the XLA two-part path.
 _ATTN_APPEND_OPTIN = _os.environ.get("LLMC_ATTN_APPEND", "1") != "0"
+# Deferred-write variant (also latched; MEASURED-LOSING, default off):
+# the kernel emits only the attention and ONE sublane-slab DUS per STEP
+# writes the token rows into the fresh carry after the layer scan. The
+# hope was to save the kernel's four fresh outputs + ys stacking
+# (~75 us/layer, exp_append_dissect.py) — but the step-carried fresh is
+# then an XLA-written buffer that 16 custom calls read, and XLA
+# copy-protects it PER KERNEL CALL, not once per step: +3.0 ms/step at
+# b128 (8.25 vs 5.26 emit / 5.35 XLA; 11.42 vs 7.97 / 8.91 at S=1024 —
+# exp_append_defer.py). Round-4's copy-protection lesson holds for any
+# write granularity; functional kernel outputs threaded as ys remain
+# the only structure that avoids it. LLMC_ATTN_APPEND_DEFER=1 re-enables
+# the probe.
+_APPEND_DEFER = _os.environ.get("LLMC_ATTN_APPEND_DEFER", "0") == "1"
+# q row-quant runs inside the kernel (bitwise-identical codes; kills the
+# XLA prologue ops between opaque per-layer calls). Same-run A/B won
+# consistently: 7.55/7.49 vs 7.67/7.64 ms/step at b128
+# (exp_append_quantq.py, loaded-chip window). Latched at import;
+# LLMC_ATTN_QUANT_Q=0 restores the XLA prologue.
+_APPEND_QUANT_Q = _os.environ.get("LLMC_ATTN_QUANT_Q", "1") != "0"
 
 
 def _append_path_ok(cfg: ModelConfig, cache: KVCache, ablate=()) -> bool:
@@ -643,12 +662,13 @@ def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
     g = (lambda s: ops.get(s)) if ops is not None else (lambda s: None)
     r = H // KV
 
-    if "attn" in ablate:  # bench ablation: pass fresh through untouched
+    if "attn" in ablate:  # bench ablation: skip the attention core
         out = q.reshape(B, T, H * D)
-        sl = (fresh.k[layer_idx], fresh.v[layer_idx],
-              fresh.k_scale[layer_idx], fresh.v_scale[layer_idx])
+        ys = new_kv if _APPEND_DEFER else (
+            fresh.k[layer_idx], fresh.v[layer_idx],
+            fresh.k_scale[layer_idx], fresh.v_scale[layer_idx])
         return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
-                       slot="o"), sl
+                       slot="o"), ys
 
     q4 = q.reshape(B, KV, r, D).astype(jnp.float32)
     if cfg.arch == "opt":                    # pre-scaled query (opt.py:113)
@@ -656,18 +676,28 @@ def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
         eff = 1.0
     else:
         eff = cfg.attn_scale
-    absmax = jnp.max(jnp.abs(q4), axis=-1, keepdims=True)
-    qscale = jnp.maximum(absmax / 127.0, 1e-8)
-    qi = jnp.clip(jnp.round(q4 / qscale), -127, 127).astype(jnp.int8)
-
     w = window if window is not None else jnp.int32(0)
+    if _APPEND_QUANT_Q:
+        # q row-quant runs IN-KERNEL (bitwise the same codes); the XLA
+        # prologue's ~4 small ops otherwise sit serialized between the
+        # opaque per-layer kernel calls
+        qi, qscale = q4, jnp.zeros((B, KV, r, 1), jnp.float32)
+    else:
+        absmax = jnp.max(jnp.abs(q4), axis=-1, keepdims=True)
+        qscale = jnp.maximum(absmax / 127.0, 1e-8)
+        qi = jnp.clip(jnp.round(q4 / qscale), -127, 127).astype(jnp.int8)
+
     o32, slices = decode_attention_append(
         qi, qscale, cache, fresh, new_kv, layer_idx, len0, len0 + t, w, t,
         scale=eff, softcap=cfg.attn_logit_softcapping,
-        merge_new="append" not in ablate)
+        merge_new="append" not in ablate, emit_fresh=not _APPEND_DEFER,
+        quant_q=_APPEND_QUANT_Q)
     out = o32.astype(q.dtype).reshape(B, T, H * D)
+    # deferred mode: the ys are the token's K/V rows the engine already
+    # holds — the caller DUSes the stacked rows into the fresh carry once
+    # per step, after the layer scan
     return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
-                   slot="o"), slices
+                   slot="o"), (new_kv if _APPEND_DEFER else slices)
 
 
 def _fresh_layer(lp, cfg: ModelConfig, layer_idx: int, x, cache, fresh, t,
@@ -790,7 +820,30 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
         cat = (fresh_ys[0] if len(fresh_ys) == 1 else
                tuple(jnp.concatenate([seg[i] for seg in fresh_ys])
                      for i in range(4)))
-        fresh = FreshKV(k=cat[0], v=cat[1], k_scale=cat[2], v_scale=cat[3])
+        if _APPEND_DEFER:
+            # ONE sublane-slab write per STEP: DUS the stacked token rows
+            # (L, B, KV, D, 1) into the fresh carry at step t. Worst case
+            # XLA copy-protects the fresh set once per step (~9 MB at the
+            # bench shape ≈ 1 us/layer) — vs the ~75 us/layer the kernel
+            # fresh outputs + full-block ys cost (exp_append_dissect.py).
+            if "append" not in ablate:
+                rk, rv, rks, rvs = cat
+                L_, B_, KV_, D_, _ = rk.shape
+                row = lambda r: r.reshape(L_, B_, KV_, 1, D_)
+                fresh = fresh.replace(
+                    k=jax.lax.dynamic_update_slice(
+                        fresh.k, row(rk).astype(fresh.k.dtype),
+                        (0, 0, 0, t, 0)),
+                    v=jax.lax.dynamic_update_slice(
+                        fresh.v, row(rv).astype(fresh.v.dtype),
+                        (0, 0, 0, t, 0)),
+                    k_scale=jax.lax.dynamic_update_slice(
+                        fresh.k_scale, rks, (0, 0, 0, 0, t)),
+                    v_scale=jax.lax.dynamic_update_slice(
+                        fresh.v_scale, rvs, (0, 0, 0, 0, t)))
+        else:
+            fresh = FreshKV(k=cat[0], v=cat[1], k_scale=cat[2],
+                            v_scale=cat[3])
     if "head" in ablate:
         return h[:, -1, :], fresh
     logits = head(params, cfg, h, qcfg)

@@ -212,25 +212,52 @@ def write_fresh(fresh: FreshKV, layer, t, kc, vc, ks=None, vs=None) -> FreshKV:
 def merge_fresh(cache: KVCache, fresh: FreshKV, lengths0, n: int) -> KVCache:
     """Scatter the first ``n`` fresh steps into the main cache at per-slot
     positions lengths0 + [0, n) and advance lengths — ONE scatter per
-    decode_greedy_steps call instead of one per step."""
+    decode_greedy_steps call instead of one per step.
+
+    Uniform-length fast path (round 5): when every slot has the same
+    length — the common case after batch prefill — the general
+    4096-index XLA scatter (measured 4.4 ms/call at the bench shape,
+    experiments/exp_merge_cost.py) collapses to ONE dynamic_update_slice
+    per buffer at a shared lane offset. lax.cond selects per call; both
+    branches write identical values."""
     B = cache.batch
     b_idx = jnp.arange(B)[:, None]                     # (B, 1)
     pos = lengths0[:, None] + jnp.arange(n)[None, :]   # (B, n)
 
-    def put_codes(buf, src):   # (L, B, KV, W, D) -> update (B, n, L, KV, D)
+    def scatter_codes(buf, src):  # (L,B,KV,W,D) -> update (B,n,L,KV,D)
         upd = jnp.transpose(src[:, :, :, :n, :], (1, 3, 0, 2, 4))
         return buf.at[:, b_idx, :, :, pos].set(upd.astype(buf.dtype))
 
-    def put_scales(buf, src):  # (L, B, KV, 1, W) -> update (B, n, L, KV, 1)
+    def scatter_scales(buf, src):  # (L,B,KV,1,W) -> update (B,n,L,KV,1)
         upd = jnp.transpose(src[..., :n], (1, 4, 0, 2, 3))
         return buf.at[:, b_idx, :, :, pos].set(upd.astype(buf.dtype))
 
-    cache = cache.replace(k=put_codes(cache.k, fresh.k),
-                          v=put_codes(cache.v, fresh.v),
-                          lengths=lengths0 + n)
+    def dus_codes(buf, src):      # lane-window DUS at the shared offset
+        upd = jnp.transpose(src[:, :, :, :n, :], (0, 1, 2, 4, 3))
+        start = (0, 0, 0, 0, lengths0[0])
+        return jax.lax.dynamic_update_slice(buf, upd.astype(buf.dtype),
+                                            start)
+
+    def dus_scales(buf, src):
+        start = (0, 0, 0, 0, lengths0[0])
+        return jax.lax.dynamic_update_slice(
+            buf, src[..., :n].astype(buf.dtype), start)
+
+    uniform = jnp.all(lengths0 == lengths0[0])
+    bufs = [(cache.k, fresh.k, True), (cache.v, fresh.v, True)]
     if cache.quantized:
-        cache = cache.replace(k_scale=put_scales(cache.k_scale, fresh.k_scale),
-                              v_scale=put_scales(cache.v_scale, fresh.v_scale))
+        bufs += [(cache.k_scale, fresh.k_scale, False),
+                 (cache.v_scale, fresh.v_scale, False)]
+    outs = []
+    for buf, src, is_codes in bufs:
+        outs.append(jax.lax.cond(
+            uniform,
+            (dus_codes if is_codes else dus_scales),
+            (scatter_codes if is_codes else scatter_scales),
+            buf, src))
+    cache = cache.replace(k=outs[0], v=outs[1], lengths=lengths0 + n)
+    if cache.quantized:
+        cache = cache.replace(k_scale=outs[2], v_scale=outs[3])
     return cache
 
 

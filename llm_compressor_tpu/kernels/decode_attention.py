@@ -362,9 +362,9 @@ def fresh_write(fresh, new_kv, layer, t):
 
 def _kernel_append(layer_ref, mlen_ref, pos_ref, wt_ref, qi_ref, qs_ref,
                    k_ref, v_ref, ks_ref, vs_ref, kf_ref, vf_ref, ksf_ref,
-                   vsf_ref, nkv_ref, nsc_ref,
-                   o_ref, kfo_ref, vfo_ref, ksfo_ref, vsfo_ref, *,
-                   tb: int, scale: float, softcap, merge_new: bool):
+                   vsf_ref, nkv_ref, nsc_ref, *out_refs,
+                   tb: int, scale: float, softcap, merge_new: bool,
+                   emit_fresh: bool, quant_q: bool):
     """FUSED-APPEND decode attention (round 5): one kernel computes the
     full [main | fresh+current] attention AND emits the updated fresh
     block as a FUNCTIONAL output (no aliasing).
@@ -384,7 +384,17 @@ def _kernel_append(layer_ref, mlen_ref, pos_ref, wt_ref, qi_ref, qs_ref,
     over 8 lanes (a lane-safe scalar container: Mosaic cannot slice the
     lane dim, so the scalar is recovered with a max over equal lanes).
     ``merge_new=False`` is the bench "append" ablation: attend read-only
-    and pass the fresh block through unchanged."""
+    and pass the fresh block through unchanged.
+
+    ``emit_fresh=False`` is the round-5 DEFERRED-WRITE refinement: the
+    kernel outputs ONLY the attention (the dissection measured the four
+    fresh-block outputs at ~+43 us/layer and their ys stacking at ~+32,
+    exp_append_dissect.py) — the engine already holds the token's rows
+    in XLA, collects them as tiny ys, and performs ONE sublane-slab DUS
+    into the fresh carry per STEP, after the layer scan. Moving the
+    write out of the layer loop is what round 4's per-layer
+    arrangements were missing; worst case XLA copy-protects the fresh
+    set once per step (~9 MB, ~1 us/layer equivalent)."""
     i = pl.program_id(0)
     w = wt_ref[0]
     t = wt_ref[1]
@@ -421,20 +431,30 @@ def _kernel_append(layer_ref, mlen_ref, pos_ref, wt_ref, qi_ref, qs_ref,
         parts = [(k_ref[0, sl], v_ref[0, sl], ks_ref[0, sl], vs_ref[0, sl],
                   keep_m, False),
                  (kf, vf, ksf, vsf, keep_f, True)]
-        out = _slot_attention(None, parts, scale=scale, softcap=softcap,
-                              qi=qi_ref[sl],
-                              qs=qs_ref[sl].astype(jnp.float32))
+        if quant_q:
+            # qi_ref holds the raw f32 q4; row-quant in-kernel (identical
+            # _row_quant_i8 formula -> bitwise the XLA prologue's codes)
+            out = _slot_attention(qi_ref[sl].astype(jnp.float32), parts,
+                                  scale=scale, softcap=softcap)
+        else:
+            out = _slot_attention(None, parts, scale=scale, softcap=softcap,
+                                  qi=qi_ref[sl],
+                                  qs=qs_ref[sl].astype(jnp.float32))
+        o_ref = out_refs[0]
         o_ref[sl] = out.astype(o_ref.dtype)
-        kfo_ref[sl] = kf
-        vfo_ref[sl] = vf
-        ksfo_ref[sl] = ksf
-        vsfo_ref[sl] = vsf
+        if emit_fresh:
+            kfo_ref, vfo_ref, ksfo_ref, vsfo_ref = out_refs[1:]
+            kfo_ref[sl] = kf
+            vfo_ref[sl] = vf
+            ksfo_ref[sl] = ksf
+            vsfo_ref[sl] = vsf
 
 
-@partial(jax.jit, static_argnames=("scale", "softcap", "merge_new"))
+@partial(jax.jit, static_argnames=("scale", "softcap", "merge_new",
+                                   "emit_fresh", "quant_q"))
 def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
                  kf, vf, ksf, vsf, nkv, nsc, *, scale, softcap,
-                 merge_new=True):
+                 merge_new=True, emit_fresh=True, quant_q=False):
     B, KV, r, D = qi.shape
     S = kc.shape[-1]
     W = kf.shape[-2]
@@ -450,6 +470,15 @@ def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
         return pl.BlockSpec((tb,) + shape3, lambda i, *_: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    out_specs = (blk_b((KV, r, D)),)
+    out_shapes = (jax.ShapeDtypeStruct((B, KV, r, D), jnp.float32),)
+    if emit_fresh:
+        out_specs += (blk_b((KV, W, D)), blk_b((KV, W, D)),
+                      blk_b((KV, 1, W)), blk_b((KV, 1, W)))
+        out_shapes += (jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
+                       jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
+                       jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32),
+                       jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # layer, mlen, pos, [window, t]
         grid=(B // tb,),
@@ -459,21 +488,14 @@ def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
                   blk_l((KV, W, D)), blk_l((KV, W, D)),
                   blk_l((KV, 1, W)), blk_l((KV, 1, W)),
                   blk_b((KV, 2, D)), blk_b((KV, 2, 8))],
-        out_specs=(blk_b((KV, r, D)),
-                   blk_b((KV, W, D)), blk_b((KV, W, D)),
-                   blk_b((KV, 1, W)), blk_b((KV, 1, W))),
+        out_specs=out_specs,
     )
-    out_shapes = (
-        jax.ShapeDtypeStruct((B, KV, r, D), jnp.float32),
-        jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
-        jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
-        jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32),
-        jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32),
-    )
-    nbytes = 2 * B * KV * (D + 4) * S + 4 * B * KV * (D + 4) * W
+    nbytes = (2 * B * KV * (D + 4) * S
+              + (4 if emit_fresh else 2) * B * KV * (D + 4) * W)
     return pl.pallas_call(
         partial(_kernel_append, tb=tb, scale=scale, softcap=softcap,
-                merge_new=merge_new),
+                merge_new=merge_new, emit_fresh=emit_fresh,
+                quant_q=quant_q),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
@@ -491,10 +513,14 @@ def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
 
 def decode_attention_append(qi, qs, cache, fresh, new_kv, layer, main_len,
                             pos, window, t, *, scale: float, softcap=None,
-                            merge_new: bool = True):
+                            merge_new: bool = True,
+                            emit_fresh: bool = True,
+                            quant_q: bool = False):
     """Fused-append attention (see _kernel_append): returns
-    (o32 (B, KV, r, D) f32, (kf', vf', ksf', vsf') — layer ``layer``'s
-    updated fresh slices, to be stacked as layer-scan ys).
+    (o32 (B, KV, r, D) f32, fresh') where fresh' is layer ``layer``'s
+    updated fresh slice tuple (kf', vf', ksf', vsf') when
+    ``emit_fresh``, else None (deferred-write mode: the engine performs
+    the fresh write itself, once per step, after the layer scan).
 
     ``qi``/``qs`` from the engine's XLA row quant (bitwise the XLA
     path's). ``new_kv`` = (kc (B, KV, D, 1) int8, vc, ks (B, KV, 1, 1)
@@ -507,15 +533,18 @@ def decode_attention_append(qi, qs, cache, fresh, new_kv, layer, main_len,
         jnp.concatenate([ks, vs], axis=2), (B, KV, 2, 8))
     wt = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
                     jnp.asarray(t, jnp.int32).reshape(())])
-    o32, kf, vf, ksf, vsf = _call_append(
+    outs = _call_append(
         jnp.asarray(layer, jnp.int32), main_len.astype(jnp.int32),
         pos.astype(jnp.int32), wt, qi, qs.astype(jnp.float32),
         cache.k, cache.v, cache.k_scale, cache.v_scale,
         fresh.k, fresh.v, fresh.k_scale, fresh.v_scale, nkv, nsc,
         scale=float(scale),
         softcap=None if softcap is None else float(softcap),
-        merge_new=merge_new)
-    return o32, (kf, vf, ksf, vsf)
+        merge_new=merge_new, emit_fresh=emit_fresh, quant_q=quant_q)
+    if emit_fresh:
+        o32, kf, vf, ksf, vsf = outs
+        return o32, (kf, vf, ksf, vsf)
+    return outs[0], None
 
 
 def _pick_tb(B: int, KV: int, D: int, S: int, W: int,

@@ -65,3 +65,51 @@ def test_topk_sampling_runs():
     prompt = np.random.default_rng(3).integers(0, cfg.vocab_size, (1, 4)).astype(np.int32)
     out = generate(params, cfg, prompt, max_new_tokens=4, temperature=0.8, top_k=10)
     assert out.shape[1] <= 8
+
+
+def test_merge_fresh_uniform_matches_scatter():
+    """merge_fresh's uniform-length DUS fast path (round 5) writes the
+    same cache as the general scatter branch; ragged lengths take the
+    scatter branch and land per-slot."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_compressor_tpu.engine.kvcache import (
+        init_cache,
+        init_fresh,
+        merge_fresh,
+    )
+
+    L, B, KV, D, S, n = 2, 4, 2, 8, 64, 5
+    rng = np.random.default_rng(0)
+    fresh = init_fresh(L, B, n, KV, D, quantized=True)
+    fresh = fresh.replace(
+        k=jnp.asarray(rng.integers(-127, 128, fresh.k.shape), jnp.int8),
+        v=jnp.asarray(rng.integers(-127, 128, fresh.v.shape), jnp.int8),
+        k_scale=jnp.asarray(rng.uniform(.01, .02, fresh.k_scale.shape),
+                            jnp.float32),
+        v_scale=jnp.asarray(rng.uniform(.01, .02, fresh.v_scale.shape),
+                            jnp.float32))
+
+    def merged(len0):
+        cache = init_cache(L, B, S, KV, D, quantized=True)
+        return merge_fresh(cache, fresh, jnp.asarray(len0, jnp.int32), n)
+
+    # uniform: both branches must write identical values — compare the
+    # DUS fast path (taken) against a hand-built scatter reference
+    uni = merged([7, 7, 7, 7])
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(uni.k[:, b, :, :, 7:7 + n]),
+            np.asarray(jnp.swapaxes(fresh.k[:, b], 2, 3)))
+    np.testing.assert_array_equal(np.asarray(uni.lengths), [12] * B)
+
+    # ragged: scatter branch, per-slot offsets
+    rag = merged([3, 9, 0, 6])
+    for b, l0 in enumerate([3, 9, 0, 6]):
+        np.testing.assert_array_equal(
+            np.asarray(rag.k[:, b, :, :, l0:l0 + n]),
+            np.asarray(jnp.swapaxes(fresh.k[:, b], 2, 3)))
+        np.testing.assert_array_equal(
+            np.asarray(rag.k_scale[:, b, :, :, l0:l0 + n]),
+            np.asarray(fresh.k_scale[:, b]))

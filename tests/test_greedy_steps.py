@@ -132,6 +132,79 @@ def test_append_kernel_path_matches_per_step_decode(arch):
             np.asarray(getattr(cache, name))[..., w], rtol=1e-6)
 
 
+def test_append_kernel_quant_q_bitwise(monkeypatch):
+    """In-kernel q row-quant (LLMC_ATTN_QUANT_Q) produces the same tokens
+    as the XLA-prologue form — the kernel runs the identical
+    _row_quant_i8 formula. n=5 gives a distinct jit key from the
+    default-path test (the latch is read at trace time)."""
+    import importlib
+
+    gen = importlib.import_module("llm_compressor_tpu.engine.generate")
+    cfg, params, qcfg = _setup(True)
+    toks = np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (2, 6)).astype(np.int32)
+
+    def run(n):
+        cache = init_cache(cfg.num_layers, 2, 128, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(params, jnp.asarray(toks), cache,
+                                cfg=cfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        t, _ = decode_greedy_steps(params, tok, cache, n=n, cfg=cfg,
+                                   qcfg=qcfg)
+        return np.asarray(t)
+
+    monkeypatch.setattr(gen, "_APPEND_QUANT_Q", False)
+    ref = run(3)[:, :3]
+    monkeypatch.setattr(gen, "_APPEND_QUANT_Q", True)
+    got = run(5)[:, :3]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_append_kernel_mpq_segments():
+    """The append path under a 2-class MPQ stack (two layer-scan
+    segments): per-segment ys concatenate into the full fresh update —
+    same tokens as per-step decode."""
+    from llm_compressor_tpu.qformats.config import register_4_to_8bit
+
+    cfg = tiny_config("llama", hidden_size=64, intermediate_size=128,
+                      num_heads=4, num_kv_heads=2, head_dim=16,
+                      num_layers=4, vocab_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    qcfg = build_quant_config("int4-g[-2]-rw", "int8-g[-1]-rw", None, None)
+    qcfg = register_4_to_8bit(
+        qcfg, [f"layers.{i}.self_attn.q_proj.weight" for i in (0, 1)])
+    # fake-quant weights: a PACKED stack cannot hold per-layer mixed
+    # QTensor metadata (pre-existing MPQ serving limitation; the int8
+    # attention-codes fresh path is what this test pins)
+    alg.rtn(params, cfg, qcfg)
+    params = stack_model(fuse_model(params, cfg, qcfg))
+    toks = np.random.default_rng(6).integers(
+        0, cfg.vocab_size, (2, 5)).astype(np.int32)
+    n = 3
+
+    def prefilled():
+        cache = init_cache(cfg.num_layers, 2, 128, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(params, jnp.asarray(toks), cache,
+                                cfg=cfg, qcfg=qcfg)
+        return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+    from llm_compressor_tpu.models.transformer import scan_segments
+    assert len(scan_segments(cfg, qcfg)) == 2
+
+    tok, cache = prefilled()
+    fast_toks, _ = decode_greedy_steps(params, tok, cache, n=n,
+                                       cfg=cfg, qcfg=qcfg)
+    tok, cache = prefilled()
+    slow = []
+    for _ in range(n):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        slow.append(np.asarray(tok[:, 0]))
+    np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
+
+
 def test_scan_unroll_is_bitwise_neutral():
     """The layer-scan unroll knob (measured an exact perf tie on the v5e —
     exp_scan_unroll.py — but kept as a tuning knob for other topologies)

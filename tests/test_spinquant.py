@@ -34,12 +34,15 @@ class TestHadamard:
         H = base_hadamard(K)
         assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64))
 
-    @pytest.mark.parametrize("n", [64, 128, 96, 160, 3072, 2560,
-                                   896, 3584, 3840, 6656, 6912, 8960])
+    @pytest.mark.parametrize("n", [64, 128, 96, 160, 2560, 896, 8960])
     def test_orthonormal(self, n):
-        # 96 = 8*12, 160 = 8*20, 3072 = 256*12, 2560 = 128*20,
-        # 896 = 32*28, 3584 = 128*28 (qwen2-class), 3840 = 64*60,
-        # 6656 = 128*52, 6912 = 64*108, 8960 = 64*140
+        # 96 = 8*12, 160 = 8*20, 2560 = 128*20, 896 = 32*28,
+        # 8960 = 64*140. One dim per construction mechanism (pow2 Walsh,
+        # small/large Paley-I, Paley-II, largest table base): every base
+        # matrix is separately verified EXACTLY by test_base_matrices and
+        # the Kronecker lift is dim-independent, so the dropped large
+        # composites (3072/3584/3840/6656/6912) only re-ran the same code
+        # path — they cost ~70 s of the 2-vCPU suite (VERDICT r4 item 7).
         H = np.asarray(hadamard_matrix(n))
         if n <= 3072:
             np.testing.assert_allclose(H @ H.T, np.eye(n), atol=1e-4)
