@@ -142,6 +142,14 @@ _APPEND_DEFER = _os.environ.get("LLMC_ATTN_APPEND_DEFER", "0") == "1"
 # (exp_append_quantq.py, loaded-chip window). Latched at import;
 # LLMC_ATTN_QUANT_Q=0 restores the XLA prologue.
 _APPEND_QUANT_Q = _os.environ.get("LLMC_ATTN_QUANT_Q", "1") != "0"
+# Alias-accumulator fresh outputs: the kernel writes its layer's fresh
+# block straight into the final (L, ...) buffer via WRITE-ONLY
+# input_output_aliases (the kernel never reads it — neither round-4
+# failure mode applies), carried through the layer scan — removing the
+# per-layer ys copies of the "emit" form (~34 us/layer,
+# exp_append_dissect.py). Latched at import; default decided by the
+# on-chip A/B (exp_append_alias.py).
+_APPEND_ALIAS = _os.environ.get("LLMC_ATTN_APPEND_ALIAS", "0") == "1"
 
 
 def _append_path_ok(cfg: ModelConfig, cache: KVCache, ablate=()) -> bool:
@@ -460,7 +468,8 @@ def _i8_softmax_requant(parts_s, parts_vs, softcap_val=None, ablate=()):
 
 def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
                      fresh: FreshKV, t, len0, ops: LayerOps, cos, sin,
-                     window=None, ablate=(), append_mode: bool = False):
+                     window=None, ablate=(), append_mode: bool = False,
+                     acc=None):
     """Decode attention for one (B, 1, E) slice against [read-only main
     cache | fresh block | in-register current token]. Requires the int8
     per-token act config on both attention matmuls (acts_mode is True) and
@@ -487,7 +496,7 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
     if append_mode:
         return _fresh_attention_append(
             lp, cfg, layer_idx, q, (kc, vc, ks, vs), cache, fresh, t, len0,
-            ops, window, ablate)
+            ops, window, ablate, acc)
 
     use_kernel = _attn_kernel_ok(cfg, cache.max_len, ablate)
     if "append" not in ablate:
@@ -646,7 +655,8 @@ def _fresh_attention(lp, cfg: ModelConfig, layer_idx: int, x, cache: KVCache,
 
 def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
                             cache: KVCache, fresh: FreshKV, t, len0,
-                            ops: LayerOps, window=None, ablate=()):
+                            ops: LayerOps, window=None, ablate=(),
+                            acc=None):
     """Fused-append kernel attention core (round 5): ONE Pallas call per
     layer streams the main window, merges the current token into the
     fresh block in-register, attends over [main | fresh+current], and
@@ -664,9 +674,13 @@ def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
 
     if "attn" in ablate:  # bench ablation: skip the attention core
         out = q.reshape(B, T, H * D)
-        ys = new_kv if _APPEND_DEFER else (
-            fresh.k[layer_idx], fresh.v[layer_idx],
-            fresh.k_scale[layer_idx], fresh.v_scale[layer_idx])
+        if acc is not None:
+            ys = acc
+        elif _APPEND_DEFER:
+            ys = new_kv
+        else:
+            ys = (fresh.k[layer_idx], fresh.v[layer_idx],
+                  fresh.k_scale[layer_idx], fresh.v_scale[layer_idx])
         return qlinear(out, ap["o"]["weight"], ap["o"].get("bias"), g("o"),
                        slot="o"), ys
 
@@ -687,11 +701,13 @@ def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
         qscale = jnp.maximum(absmax / 127.0, 1e-8)
         qi = jnp.clip(jnp.round(q4 / qscale), -127, 127).astype(jnp.int8)
 
+    emit = ("alias" if acc is not None
+            else ("none" if _APPEND_DEFER else "emit"))
     o32, slices = decode_attention_append(
         qi, qscale, cache, fresh, new_kv, layer_idx, len0, len0 + t, w, t,
         scale=eff, softcap=cfg.attn_logit_softcapping,
-        merge_new="append" not in ablate, emit_fresh=not _APPEND_DEFER,
-        quant_q=_APPEND_QUANT_Q)
+        merge_new="append" not in ablate, emit_fresh=emit,
+        quant_q=_APPEND_QUANT_Q, acc=acc)
     out = o32.astype(q.dtype).reshape(B, T, H * D)
     # deferred mode: the ys are the token's K/V rows the engine already
     # holds — the caller DUSes the stacked rows into the fresh carry once
@@ -702,14 +718,15 @@ def _fresh_attention_append(lp, cfg: ModelConfig, layer_idx, q, new_kv,
 
 def _fresh_layer(lp, cfg: ModelConfig, layer_idx: int, x, cache, fresh, t,
                  len0, ops, cos, sin, window=None, ablate=(),
-                 append_mode: bool = False):
+                 append_mode: bool = False, acc=None):
     # ``fresh`` return: updated FreshKV (carry) normally; this layer's
-    # updated slice tuple (layer-scan ys) in append_mode.
+    # updated slice tuple (layer-scan ys) in append_mode; the threaded
+    # (L, ...) accumulator when ``acc`` is given (alias mode).
     if cfg.parallel_residual:
         normed = apply_norm(cfg, x, lp["ln1"])
         a, fresh = _fresh_attention(lp, cfg, layer_idx, normed, cache, fresh,
                                     t, len0, ops, cos, sin, window, ablate,
-                                    append_mode)
+                                    append_mode, acc)
         m = mlp(lp, cfg, normed, ops)
         return x + a + m, fresh
 
@@ -717,11 +734,11 @@ def _fresh_layer(lp, cfg: ModelConfig, layer_idx: int, x, cache, fresh, t,
         normed = apply_norm(cfg, x, lp["ln1"])
         a, fresh = _fresh_attention(lp, cfg, layer_idx, normed, cache, fresh,
                                     t, len0, ops, cos, sin, window, ablate,
-                                    append_mode)
+                                    append_mode, acc)
     else:
         a, fresh = _fresh_attention(lp, cfg, layer_idx, x, cache, fresh, t,
                                     len0, ops, cos, sin, window, ablate,
-                                    append_mode)
+                                    append_mode, acc)
     if cfg.post_attn_residual_norm:
         a = apply_norm(cfg, a, lp["post_attn_norm"])
     x = x + a
@@ -783,6 +800,36 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
             # No XLA-write/kernel-read pair exists, so neither the
             # copy-protection (~525 us/layer) nor the aliased-write
             # serialization (~174 us/layer) of the round-4 table applies.
+            # Alias mode (_APPEND_ALIAS): the kernel instead writes its
+            # layer's block straight into a carried (L, ...) accumulator
+            # via write-only input_output_aliases — no ys copies.
+            if _APPEND_ALIAS:
+                if not fresh_ys:  # one accumulator threads ALL segments
+                    acc0 = (jnp.zeros_like(fresh.k),
+                            jnp.zeros_like(fresh.v),
+                            jnp.zeros_like(fresh.k_scale),
+                            jnp.zeros_like(fresh.v_scale))
+                    fresh_ys.append(list(acc0))
+
+                def step_al(carry, xs, ops=ops, packed=packed, s0=s0):
+                    hh, ac = carry
+                    lp, li, s_i, w_i = xs
+                    lp = reinsert_packed(lp, packed, li - s0)
+                    cos = cos_u[s_i] if cos_u is not None else None
+                    sin = sin_u[s_i] if sin_u is not None else None
+                    w = w_i if windows is not None else None
+                    hh, ac = _fresh_layer(lp, cfg, li, hh, cache, fresh, t,
+                                          len0, ops, cos, sin, w, ablate,
+                                          append_mode=True, acc=ac)
+                    return (hh, tuple(ac)), None
+
+                (h, acc_out), _ = jax.lax.scan(
+                    step_al, (h, tuple(fresh_ys[0])),
+                    (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]),
+                    unroll=_scan_unroll(unroll))
+                fresh_ys[0] = list(acc_out)
+                continue
+
             def step_a(hh, xs, ops=ops, packed=packed, s0=s0):
                 lp, li, s_i, w_i = xs
                 lp = reinsert_packed(lp, packed, li - s0)
@@ -817,6 +864,13 @@ def _forward_decode_fresh(params, cfg: ModelConfig, tokens, cache: KVCache,
             (rest, jnp.arange(s0, s1), sel[s0:s1], win_xs[s0:s1]),
             unroll=_scan_unroll(unroll))
     if append_mode:
+        if _APPEND_ALIAS:
+            k_, v_, ks_, vs_ = fresh_ys[0]
+            return_fresh = FreshKV(k=k_, v=v_, k_scale=ks_, v_scale=vs_)
+            if "head" in ablate:
+                return h[:, -1, :], return_fresh
+            logits = head(params, cfg, h, qcfg)
+            return logits[:, -1, :], return_fresh
         cat = (fresh_ys[0] if len(fresh_ys) == 1 else
                tuple(jnp.concatenate([seg[i] for seg in fresh_ys])
                      for i in range(4)))

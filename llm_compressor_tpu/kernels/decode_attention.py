@@ -400,6 +400,10 @@ def _kernel_append(layer_ref, mlen_ref, pos_ref, wt_ref, qi_ref, qs_ref,
     t = wt_ref[1]
     S = k_ref.shape[-1]
     W = kf_ref.shape[-2]
+    if emit_fresh == "alias":
+        # the 4 aliased accumulator INPUT refs precede the outputs in the
+        # kernel arg order; they are write-only (never read here)
+        out_refs = out_refs[4:]
 
     for sl in range(tb):
         b = i * tb + sl
@@ -442,19 +446,29 @@ def _kernel_append(layer_ref, mlen_ref, pos_ref, wt_ref, qi_ref, qs_ref,
                                   qs=qs_ref[sl].astype(jnp.float32))
         o_ref = out_refs[0]
         o_ref[sl] = out.astype(o_ref.dtype)
-        if emit_fresh:
+        if emit_fresh == "emit":
             kfo_ref, vfo_ref, ksfo_ref, vsfo_ref = out_refs[1:]
             kfo_ref[sl] = kf
             vfo_ref[sl] = vf
             ksfo_ref[sl] = ksf
             vsfo_ref[sl] = vsf
+        elif emit_fresh == "alias":
+            # write-only into the (L, ...) accumulator at this layer's
+            # block (out_specs index on the prefetched layer) — the final
+            # fresh lands at its destination with no ys copies; unvisited
+            # layer blocks pass through via input_output_aliases
+            kfo_ref, vfo_ref, ksfo_ref, vsfo_ref = out_refs[1:]
+            kfo_ref[0, sl] = kf
+            vfo_ref[0, sl] = vf
+            ksfo_ref[0, sl] = ksf
+            vsfo_ref[0, sl] = vsf
 
 
 @partial(jax.jit, static_argnames=("scale", "softcap", "merge_new",
                                    "emit_fresh", "quant_q"))
 def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
-                 kf, vf, ksf, vsf, nkv, nsc, *, scale, softcap,
-                 merge_new=True, emit_fresh=True, quant_q=False):
+                 kf, vf, ksf, vsf, nkv, nsc, acc=None, *, scale, softcap,
+                 merge_new=True, emit_fresh="emit", quant_q=False):
     B, KV, r, D = qi.shape
     S = kc.shape[-1]
     W = kf.shape[-2]
@@ -472,13 +486,27 @@ def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
 
     out_specs = (blk_b((KV, r, D)),)
     out_shapes = (jax.ShapeDtypeStruct((B, KV, r, D), jnp.float32),)
-    if emit_fresh:
+    extra_in = ()
+    aliases = {}
+    if emit_fresh == "emit":
         out_specs += (blk_b((KV, W, D)), blk_b((KV, W, D)),
                       blk_b((KV, 1, W)), blk_b((KV, 1, W)))
         out_shapes += (jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
                        jax.ShapeDtypeStruct((B, KV, W, D), jnp.int8),
                        jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32),
                        jax.ShapeDtypeStruct((B, KV, 1, W), jnp.float32))
+    elif emit_fresh == "alias":
+        # the fresh accumulator (L, ...) rides as write-only aliased
+        # in/out; this call's out blocks index the prefetched layer, all
+        # other layer blocks pass through untouched
+        out_specs += (blk_l((KV, W, D)), blk_l((KV, W, D)),
+                      blk_l((KV, 1, W)), blk_l((KV, 1, W)))
+        out_shapes += tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in acc)
+        extra_in = tuple(acc)
+        # flat operand indices incl. the 4 scalar-prefetch args: acc
+        # leaves sit after nsc (index 15)
+        aliases = {16: 1, 17: 2, 18: 3, 19: 4}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # layer, mlen, pos, [window, t]
         grid=(B // tb,),
@@ -487,17 +515,21 @@ def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
                   blk_l((KV, 1, S)), blk_l((KV, 1, S)),
                   blk_l((KV, W, D)), blk_l((KV, W, D)),
                   blk_l((KV, 1, W)), blk_l((KV, 1, W)),
-                  blk_b((KV, 2, D)), blk_b((KV, 2, 8))],
+                  blk_b((KV, 2, D)), blk_b((KV, 2, 8))]
+        + ([blk_l((KV, W, D)), blk_l((KV, W, D)),
+            blk_l((KV, 1, W)), blk_l((KV, 1, W))]
+           if emit_fresh == "alias" else []),
         out_specs=out_specs,
     )
     nbytes = (2 * B * KV * (D + 4) * S
-              + (4 if emit_fresh else 2) * B * KV * (D + 4) * W)
+              + (4 if emit_fresh != "none" else 2) * B * KV * (D + 4) * W)
     return pl.pallas_call(
         partial(_kernel_append, tb=tb, scale=scale, softcap=softcap,
                 merge_new=merge_new, emit_fresh=emit_fresh,
                 quant_q=quant_q),
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
@@ -508,23 +540,34 @@ def _call_append(layer, mlen, pos, wt, qi, qs, kc, vc, ks, vs,
         ),
         interpret=interpret,
     )(jnp.asarray([layer], jnp.int32).ravel(), mlen, pos, wt,
-      qi, qs, kc, vc, ks, vs, kf, vf, ksf, vsf, nkv, nsc)
+      qi, qs, kc, vc, ks, vs, kf, vf, ksf, vsf, nkv, nsc, *extra_in)
 
 
 def decode_attention_append(qi, qs, cache, fresh, new_kv, layer, main_len,
                             pos, window, t, *, scale: float, softcap=None,
                             merge_new: bool = True,
-                            emit_fresh: bool = True,
-                            quant_q: bool = False):
+                            emit_fresh="emit",
+                            quant_q: bool = False, acc=None):
     """Fused-append attention (see _kernel_append): returns
-    (o32 (B, KV, r, D) f32, fresh') where fresh' is layer ``layer``'s
-    updated fresh slice tuple (kf', vf', ksf', vsf') when
-    ``emit_fresh``, else None (deferred-write mode: the engine performs
-    the fresh write itself, once per step, after the layer scan).
+    (o32 (B, KV, r, D) f32, fresh') where fresh' depends on
+    ``emit_fresh``:
+
+    - "emit" (or True): layer ``layer``'s updated fresh slice tuple
+      (kf', vf', ksf', vsf') — the engine stacks them as layer-scan ys.
+    - "alias": the full (L, ...) accumulator tuple ``acc`` with this
+      layer's block written in place (write-only input_output_aliases;
+      the engine threads it through the layer scan as a carry — no ys
+      copies, the fresh lands at its final location).
+    - "none" (or False): None (deferred-write probe; measured-losing).
 
     ``qi``/``qs`` from the engine's XLA row quant (bitwise the XLA
-    path's). ``new_kv`` = (kc (B, KV, D, 1) int8, vc, ks (B, KV, 1, 1)
-    f32, vs) — the current token exactly as write_fresh would store it."""
+    path's) — or ``qi`` = raw f32 q4 with ``quant_q`` (in-kernel quant).
+    ``new_kv`` = (kc (B, KV, D, 1) int8, vc, ks (B, KV, 1, 1) f32, vs) —
+    the current token exactly as write_fresh would store it."""
+    if emit_fresh is True:
+        emit_fresh = "emit"
+    elif emit_fresh is False:
+        emit_fresh = "none"
     kc, vc, ks, vs = new_kv
     B, KV, D, _ = kc.shape
     nkv = jnp.concatenate([kc.reshape(B, KV, 1, D),
@@ -538,10 +581,11 @@ def decode_attention_append(qi, qs, cache, fresh, new_kv, layer, main_len,
         pos.astype(jnp.int32), wt, qi, qs.astype(jnp.float32),
         cache.k, cache.v, cache.k_scale, cache.v_scale,
         fresh.k, fresh.v, fresh.k_scale, fresh.v_scale, nkv, nsc,
+        tuple(acc) if acc is not None else None,
         scale=float(scale),
         softcap=None if softcap is None else float(softcap),
         merge_new=merge_new, emit_fresh=emit_fresh, quant_q=quant_q)
-    if emit_fresh:
+    if emit_fresh in ("emit", "alias"):
         o32, kf, vf, ksf, vsf = outs
         return o32, (kf, vf, ksf, vsf)
     return outs[0], None

@@ -161,6 +161,46 @@ def test_append_kernel_quant_q_bitwise(monkeypatch):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_append_kernel_alias_mode_bitwise(monkeypatch):
+    """Alias-accumulator mode (LLMC_ATTN_APPEND_ALIAS): the kernel writes
+    its layer's fresh block straight into a carried (L, ...) buffer via
+    write-only input_output_aliases — same tokens AND bitwise merged
+    cache as per-step decode. n=6 gives a distinct jit key."""
+    import importlib
+
+    gen = importlib.import_module("llm_compressor_tpu.engine.generate")
+    cfg, params, qcfg = _setup(True)
+    toks = np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (2, 6)).astype(np.int32)
+    n = 6
+
+    def prefilled():
+        cache = init_cache(cfg.num_layers, 2, 128, cfg.num_kv_heads,
+                           cfg.head_dim, quantized=True)
+        logits, cache = prefill(params, jnp.asarray(toks), cache,
+                                cfg=cfg, qcfg=qcfg)
+        return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+    monkeypatch.setattr(gen, "_APPEND_ALIAS", True)
+    tok, cache = prefilled()
+    fast_toks, fast_cache = decode_greedy_steps(params, tok, cache, n=n,
+                                                cfg=cfg, qcfg=qcfg)
+
+    monkeypatch.setattr(gen, "_APPEND_ALIAS", False)
+    tok, cache = prefilled()
+    slow = []
+    for _ in range(n):
+        logits, cache = decode_step(params, tok, cache, cfg=cfg, qcfg=qcfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        slow.append(np.asarray(tok[:, 0]))
+    np.testing.assert_array_equal(np.asarray(fast_toks), np.stack(slow, 1))
+    w = slice(0, toks.shape[1] + n)
+    for name in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast_cache, name))[..., w],
+            np.asarray(getattr(cache, name))[..., w])
+
+
 def test_append_kernel_mpq_segments():
     """The append path under a 2-class MPQ stack (two layer-scan
     segments): per-segment ys concatenate into the full fresh update —
