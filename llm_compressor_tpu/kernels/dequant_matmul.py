@@ -9,9 +9,10 @@ execution (the reference only simulates quantization; north star demands
 real packed weights, BASELINE.json).
 
 Layout contract (see qformats/qtensor.py):
-* int4 codes are packed "group halves": byte i of a group holds elements
-  (i, i + g/2) — unpacking inside the kernel is two mask/shifts and a lane
-  concatenate, never a stride-2 interleave.
+* int4 codes pack as "pair planes" by default (byte j of group pair t =
+  elems (2t*g + j, (2t+1)*g + j); the W4A8 kernel's contiguous-dot layout,
+  round 5) or legacy "group halves" (byte i of a group = elems
+  (i, i + g/2)) — qt.pair_planes selects the in-kernel unpack.
 * scales (and optional zero-points) are one f32 per (row, group).
 
 Grid: (M/TM, N/TN, K/TK) with a VMEM f32 accumulator revisited along K;
@@ -54,7 +55,8 @@ def _round_up(x, m):
 
 
 def _int4_kernel(x_ref, wp_ref, s_ref, z_ref, out_ref, acc,
-                 *, group: int, tk: int, nk: int, has_zeros: bool):
+                 *, group: int, tk: int, nk: int, has_zeros: bool,
+                 pairs: bool = False):
     k = pl.program_id(2)
     gpk = tk // group  # groups per k-block
 
@@ -65,19 +67,36 @@ def _int4_kernel(x_ref, wp_ref, s_ref, z_ref, out_ref, acc,
     wp = wp_ref[...].astype(jnp.int32)
     half = group // 2
     pieces = []
-    for gi in range(gpk):
-        b = wp[:, gi * half : (gi + 1) * half]
-        lo = (b & 0xF) - 8
-        hi = (b >> 4) - 8
-        s = _select_col(s_ref, k * gpk + gi)
-        if has_zeros:
-            z = _select_col(z_ref, k * gpk + gi)
-            pieces.append(((lo.astype(jnp.float32) - z) * s).astype(jnp.bfloat16))
-            pieces.append(((hi.astype(jnp.float32) - z) * s).astype(jnp.bfloat16))
-        else:
-            sb = s.astype(jnp.bfloat16)
-            pieces.append(lo.astype(jnp.bfloat16) * sb)
-            pieces.append(hi.astype(jnp.bfloat16) * sb)
+    if pairs:
+        # pair-planes layout (qformats/qtensor._pack_nibbles_pairs): byte
+        # column j of pair t = (elem j of group 2t | elem j of group
+        # 2t+1 << 4) — each nibble plane of a pair's g byte columns IS one
+        # whole group, in x-column order [group 2t, group 2t+1].
+        for t in range(gpk // 2):
+            b = wp[:, t * group:(t + 1) * group]
+            for gi, vals in ((2 * t, (b & 0xF) - 8), (2 * t + 1, (b >> 4) - 8)):
+                s = _select_col(s_ref, k * gpk + gi)
+                if has_zeros:
+                    z = _select_col(z_ref, k * gpk + gi)
+                    pieces.append(((vals.astype(jnp.float32) - z) * s)
+                                  .astype(jnp.bfloat16))
+                else:
+                    pieces.append(vals.astype(jnp.bfloat16)
+                                  * s.astype(jnp.bfloat16))
+    else:
+        for gi in range(gpk):
+            b = wp[:, gi * half : (gi + 1) * half]
+            lo = (b & 0xF) - 8
+            hi = (b >> 4) - 8
+            s = _select_col(s_ref, k * gpk + gi)
+            if has_zeros:
+                z = _select_col(z_ref, k * gpk + gi)
+                pieces.append(((lo.astype(jnp.float32) - z) * s).astype(jnp.bfloat16))
+                pieces.append(((hi.astype(jnp.float32) - z) * s).astype(jnp.bfloat16))
+            else:
+                sb = s.astype(jnp.bfloat16)
+                pieces.append(lo.astype(jnp.bfloat16) * sb)
+                pieces.append(hi.astype(jnp.bfloat16) * sb)
     w = jnp.concatenate(pieces, axis=-1)  # (TN, TK) bf16
 
     acc[...] += jax.lax.dot_general(
@@ -192,8 +211,10 @@ def _supported(qt: QTensor) -> bool:
     return True
 
 
-@partial(jax.jit, static_argnames=("kernel", "group", "tk", "has_zeros", "out_dtype"))
-def _call(kernel, x2, codes, scales, zeros, *, group, tk, has_zeros, out_dtype):
+@partial(jax.jit, static_argnames=("kernel", "group", "tk", "has_zeros",
+                                   "out_dtype", "pairs"))
+def _call(kernel, x2, codes, scales, zeros, *, group, tk, has_zeros,
+          out_dtype, pairs=False):
     M, K = x2.shape
     N = codes.shape[0]
     TM = min(_round_up(M, 16), 256)
@@ -205,7 +226,8 @@ def _call(kernel, x2, codes, scales, zeros, *, group, tk, has_zeros, out_dtype):
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
 
     return pl.pallas_call(
-        partial(kernel, group=group, tk=tk, nk=nk, has_zeros=has_zeros),
+        partial(kernel, group=group, tk=tk, nk=nk, has_zeros=has_zeros,
+                **({"pairs": pairs} if kernel is _int4_kernel else {})),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
@@ -271,7 +293,8 @@ def dequant_matmul(x: jnp.ndarray, qt: QTensor, bias=None) -> jnp.ndarray:
 
     x2p = x2 if M % 16 == 0 else jnp.pad(x2, ((0, (-M) % 16), (0, 0)))
     out = _call(kernel, x2p.astype(jnp.bfloat16), codes, scales, zeros,
-                group=g, tk=tk, has_zeros=has_zeros, out_dtype=x.dtype)
+                group=g, tk=tk, has_zeros=has_zeros, out_dtype=x.dtype,
+                pairs=bool(qt.pair_planes))
     out = out[:M]
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -20,10 +20,16 @@ Scales are fed pre-transposed as (G, N) strips so the per-group scale is a
 static sublane row per unrolled group (no dynamic lane slicing — Mosaic
 cannot dynamic-slice the lane dim).
 
-Mosaic note (this libtpu): 8-bit elementwise arithmetic (arith.subi /
-shifts on vector<i8>) is unimplemented — the nibble unpack must round-trip
-through int32. That costs ~40% over pre-unpacked int8 storage at small M
-but reads half the HBM bytes.
+int4 nibble layout (round 5): codes pack as "pair planes" (see
+qformats/qtensor._pack_nibbles_pairs) — byte column j of group pair t
+holds elem j of group 2t in its low nibble and elem j of group 2t+1 in
+its high nibble, so each per-group K=g dot reads a CONTIGUOUS slice of a
+nibble plane and the unpack is three vector<u8> byte-ops (8-bit AND/OR/
+XOR lower on this Mosaic; shifts/add/sub do not — the legacy "group
+halves" layout forced an int32 unpack round-trip plus one lane
+concatenate per group, measured as most of the kernel's gap to its DMA
+floor: experiments/exp_plane_probe.py). Legacy tensors (odd group count,
+pre-r5 checkpoints) keep the old unpack paths below.
 
 Activations are quantized outside the kernel (one XLA absmax pass over the
 tiny x) with the reference's restrictive-range semantics (+-127,
@@ -43,8 +49,10 @@ from ..qformats.formats import ElemFormat
 from ..qformats.qtensor import QTensor
 
 
-# Process-level unpack-strategy A/B knob (read at import: jit caches would
-# ignore later changes anyway). Measured at flagship decode shapes
+# Process-level unpack-strategy A/B knob for LEGACY "group halves" codes
+# (pair-planes tensors — the default since round 5 — always use the
+# byte-op plane path in _w4a8_total). Read at import: jit caches would
+# ignore later changes anyway. Measured at flagship decode shapes
 # (M=128, g=128; experiments/exp_unpack_xor.py, same-run pairs, 2026-08-20):
 #   i32    — DEFAULT: both planes through an int32 round-trip, one K=group
 #            concat dot per group. 218-280 GB/s packed.
@@ -77,7 +85,7 @@ def _round_up(x, m):
 
 
 def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
-                 tk: int, nk: int, int4: bool):
+                 tk: int, nk: int, int4: bool, pairs: bool = False):
     """One (TM, TN) output tile, revisited along k.
 
     x (TM, tk) int8; wp (TN, tk/2) uint8 packed / (TN, tk) int8;
@@ -89,18 +97,20 @@ def _w4a8_kernel(x_ref, wp_ref, st_ref, sx_ref, out_ref, acc, *, group: int,
     f32 intermediate never round-trips HBM (at decode batch sizes that f32
     traffic was comparable to the packed weight bytes).
 
-    int4 path: per group, unpack the packed bytes into lo/hi int8 planes
-    (int32 mask/shift — 8-bit arith is unavailable) and run two K=g/2 int8
-    MXU dots; 'group halves' packing makes both planes lane-contiguous.
+    int4 path: pair-planes codes take the byte-op unpack + contiguous
+    K=g plane dots (see _w4a8_total); legacy group-halves codes unpack
+    via int32 round-trip with one lane concatenate per group.
     """
     k = pl.program_id(2)
     gpk = tk // group
     half = group // 2
     _w4a8_body(x_ref[...], wp_ref, st_ref, sx_ref[...], out_ref, acc,
-               k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
+               k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4,
+               pairs=pairs)
 
 
-def _w4a8_total(x_i8, wp_ref, st_ref, *, group, gpk, half, int4):
+def _w4a8_total(x_i8, wp_ref, st_ref, *, group, gpk, half, int4,
+                pairs=False):
     """One k-block's scaled partial sum (TM, TN) f32 for a weight/scale
     block pair — the unpack/dot/scale core shared by every kernel variant.
 
@@ -109,7 +119,58 @@ def _w4a8_total(x_i8, wp_ref, st_ref, *, group, gpk, half, int4):
     the whole (TM, TN) f32 tile x gpk, 8x the tile's own HBM bytes in VMEM
     traffic (measured: the int8 head ran 3x slower than its DMA floor)."""
     total = None
-    if int4 and _UNPACK == "hybrid":
+    if int4 and pairs:
+        # PAIR-PLANES layout (the int4 default since round 5, see
+        # qformats/qtensor._pack_nibbles_pairs): byte column j of group
+        # pair t holds (elem j of group 2t | elem j of group 2t+1 << 4).
+        # Unpack is THREE vector<u8> byte-ops at full int8 lane density
+        # (this Mosaic has 8-bit AND/OR/XOR but no 8-bit shifts/add/sub —
+        # exp_i8_ops_probe.py) and every per-group dot reads a CONTIGUOUS
+        # K=g plane slice — no per-group lane concatenates (the old
+        # layout's dominant overhead: exp_plane_probe.py, qkv 15.1 ->
+        # 13.2 us/call same-run) and no K=g/2 half-depth dots (the xor-
+        # mode loss):
+        #   L = bitcast_i8(P & 0x0F)          = lo + 8        (even groups)
+        #   H = bitcast_i8((P ^ 0x80) & 0xF0) = 16 * hi       (odd groups)
+        # (flipping bit 7 turns the biased high nibble into its 4-bit
+        # two's complement, which the int8 byte sign-extends: 16*hi exact.)
+        # The 16x folds into the odd groups' scale rows (st * 0.0625 —
+        # exact: both are powers-of-two apart); the +8 lo bias is linear in
+        # the dot and collapses into ONE narrow f32 epilogue matmul:
+        #   sum_even_g (dot(x_g, lo_g + 8) - 8*rowsum(x_g)) * st_g
+        #   == [per-group dots] - 8 * (s_e @ st_e),   (TM,gpk/2)@(gpk/2,TN)
+        # All intermediates are f32-exact: |dot(x_g, L_g)| <= 127*15*g
+        # < 2^24, |16*d_odd| <= 127*8*16*g < 2^24, |s_e| <= 127*g < 2^24.
+        P = wp_ref[...]                                     # (TN, tk/2) u8
+        L = jax.lax.bitcast_convert_type(P & 0x0F, jnp.int8)
+        H = jax.lax.bitcast_convert_type((P ^ 0x80) & 0xF0, jnp.int8)
+        hp = gpk // 2
+        tk_ = gpk * group
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (tk_, hp), 0)
+        tsel = jax.lax.broadcasted_iota(jnp.int32, (tk_, hp), 1)
+        ind = ((kidx // group) % 2 == 0) & ((kidx // (2 * group)) == tsel)
+        e_ind = jnp.where(ind, 1, 0).astype(jnp.int8)       # (tk, hp)
+        s_e = jax.lax.dot_general(                          # (TM, hp) i32
+            x_i8, e_ind, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        for gi in range(gpk):
+            t, odd = divmod(gi, 2)
+            plane = H if odd else L
+            part = jax.lax.dot_general(
+                x_i8[:, gi * group:(gi + 1) * group],
+                plane[:, t * group:(t + 1) * group],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sc = st_ref[gi, :][None, :]
+            c = part.astype(jnp.float32) * (sc * 0.0625 if odd else sc)
+            total = c if total is None else total + c
+        st_e = jnp.stack([st_ref[2 * t, :] for t in range(hp)])
+        corr = jax.lax.dot_general(                         # (TM, TN) f32
+            s_e.astype(jnp.float32), st_e,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        total = total - 8.0 * corr
+    elif int4 and _UNPACK == "hybrid":
         # Hybrid unpack: the lo plane needs NO int32 round-trip — P & 0x0F
         # is a single vector<u8> op (this Mosaic implements 8-bit AND/OR/
         # XOR but not shifts/add/sub — exp_i8_ops_probe.py), giving the
@@ -227,12 +288,12 @@ def _w4a8_total(x_i8, wp_ref, st_ref, *, group, gpk, half, int4):
 
 
 def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
-               half, nk, int4):
+               half, nk, int4, pairs=False):
     """Shared accumulate/epilogue wrapper around :func:`_w4a8_total`:
     ``x_i8`` is the (TM, tk) int8 activation block, ``sx`` the (TM, 1)
     f32 act scale (epilogue)."""
     total = _w4a8_total(x_i8, wp_ref, st_ref, group=group, gpk=gpk,
-                        half=half, int4=int4)
+                        half=half, int4=int4, pairs=pairs)
 
     @pl.when(k == 0)
     def _():
@@ -248,7 +309,8 @@ def _w4a8_body(x_i8, wp_ref, st_ref, sx, out_ref, acc, *, k, group, gpk,
 
 
 def _w4a8_kernel_actq(x_ref, wp_ref, st_ref, out_ref, acc, xi_s, sx_s, *,
-                      group: int, tk: int, nk: int, int4: bool):
+                      group: int, tk: int, nk: int, int4: bool,
+                      pairs: bool = False):
     """Variant with the per-token int8 activation quantizer INSIDE the
     kernel: ``x_ref`` is the FULL bf16/f32 activation row block (TM, C),
     quantized once per M-block into VMEM scratch (``xi_s`` (nk, TM, tk)
@@ -282,20 +344,22 @@ def _w4a8_kernel_actq(x_ref, wp_ref, st_ref, out_ref, acc, xi_s, sx_s, *,
             xi_s[kk] = q[:, kk * tk:(kk + 1) * tk]
 
     _w4a8_body(xi_s[k], wp_ref, st_ref, sx_s[...], out_ref, acc,
-               k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
+               k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4,
+               pairs=pairs)
 
 
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
-                                   "out_dtype"))
+                                   "out_dtype", "pairs"))
 def _call(x_i8, wp, scales_t, sx, *, group, int4, tm, tn, tk,
-          out_dtype=jnp.bfloat16):
+          out_dtype=jnp.bfloat16, pairs=False):
     M, C = x_i8.shape
     N = wp.shape[0]
     nk = C // tk
     gpk = tk // group
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        partial(_w4a8_kernel, group=group, tk=tk, nk=nk, int4=int4),
+        partial(_w4a8_kernel, group=group, tk=tk, nk=nk, int4=int4,
+                pairs=pairs),
         grid=(_cdiv(M, tm), _cdiv(N, tn), nk),
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
@@ -323,7 +387,8 @@ def _call(x_i8, wp, scales_t, sx, *, group, int4, tm, tn, tk,
 
 
 def _w4a8_kernel_stacked(li_ref, x_ref, wp_ref, st_ref, sx_ref, out_ref, acc,
-                         *, group: int, tk: int, nk: int, int4: bool):
+                         *, group: int, tk: int, nk: int, int4: bool,
+                         pairs: bool = False):
     """Stacked-weight variant: wp/st carry a leading (1,) layer block and
     the layer index arrives as scalar prefetch — the weight DMA reads
     straight out of the full (L, N, K) buffer at the right offset."""
@@ -331,13 +396,14 @@ def _w4a8_kernel_stacked(li_ref, x_ref, wp_ref, st_ref, sx_ref, out_ref, acc,
     gpk = tk // group
     half = group // 2
     _w4a8_body(x_ref[...], wp_ref[0], st_ref[0], sx_ref[...], out_ref,
-               acc, k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4)
+               acc, k=k, group=group, gpk=gpk, half=half, nk=nk, int4=int4,
+               pairs=pairs)
 
 
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
-                                   "out_dtype"))
+                                   "out_dtype", "pairs"))
 def _call_stacked(x_i8, wp, scales_t, sx, layer, *, group, int4, tm, tn, tk,
-                  out_dtype=jnp.bfloat16):
+                  out_dtype=jnp.bfloat16, pairs=False):
     """Layer-indexed matmul over STACKED packed weights (L, N, K[/2]).
 
     Inside a lax.scan, feeding per-layer weights as scan xs materializes a
@@ -371,7 +437,8 @@ def _call_stacked(x_i8, wp, scales_t, sx, layer, *, group, int4, tm, tn, tk,
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
     return pl.pallas_call(
-        partial(_w4a8_kernel_stacked, group=group, tk=tk, nk=nk, int4=int4),
+        partial(_w4a8_kernel_stacked, group=group, tk=tk, nk=nk, int4=int4,
+                pairs=pairs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), N), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -390,7 +457,7 @@ def _call_stacked(x_i8, wp, scales_t, sx, layer, *, group, int4, tm, tn, tk,
 def _w4a8_kernel_gateup_silu(li_ref, x_ref, wg_ref, wu_ref, stg_ref,
                              stu_ref, sx_ref, out_ref, acc_g, acc_u, *,
                              group: int, tk: int, nk: int, int4: bool,
-                             act: str):
+                             act: str, pairs: bool = False):
     """Fused gate|up matmuls + silu(gate)*up epilogue over STACKED packed
     gateup weights (scalar-prefetch layer index).
 
@@ -409,9 +476,9 @@ def _w4a8_kernel_gateup_silu(li_ref, x_ref, wg_ref, wu_ref, stg_ref,
     gpk = tk // group
     half = group // 2
     tg = _w4a8_total(x_ref[...], wg_ref[0], stg_ref[0], group=group,
-                     gpk=gpk, half=half, int4=int4)
+                     gpk=gpk, half=half, int4=int4, pairs=pairs)
     tu = _w4a8_total(x_ref[...], wu_ref[0], stu_ref[0], group=group,
-                     gpk=gpk, half=half, int4=int4)
+                     gpk=gpk, half=half, int4=int4, pairs=pairs)
 
     @pl.when(k == 0)
     def _():
@@ -446,9 +513,9 @@ def _w4a8_kernel_gateup_silu(li_ref, x_ref, wg_ref, wu_ref, stg_ref,
 
 
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
-                                   "act", "out_dtype"))
+                                   "act", "out_dtype", "pairs"))
 def _call_gateup_silu(x_i8, wp, scales_t, sx, layer, *, group, int4, tm,
-                      tn, tk, act, out_dtype=jnp.bfloat16):
+                      tn, tk, act, out_dtype=jnp.bfloat16, pairs=False):
     """Stacked fused gateup+activation: wp (L, 2I, K[/2]) in fuse_model's
     [gate | up] row order; returns h (M, I)."""
     M, C = x_i8.shape
@@ -484,7 +551,7 @@ def _call_gateup_silu(x_i8, wp, scales_t, sx, layer, *, group, int4, tm,
     )
     return pl.pallas_call(
         partial(_w4a8_kernel_gateup_silu, group=group, tk=tk, nk=nk,
-                int4=int4, act=act),
+                int4=int4, act=act, pairs=pairs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((_round_up(M, tm), I), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -518,11 +585,12 @@ def gateup_silu_matmul(x: jnp.ndarray, qt: QTensor, act: str, layer):
     scales_t = (qt.scales_t if qt.scales_t is not None
                 else qt.scales.reshape(N2, C // g).T)
     int4 = qt.quantizer.fmt == ElemFormat.int4
+    pairs = bool(qt.pair_planes) and int4
     tm = min(_round_up(M, 32), 256)
     I = N2 // 2
     tn = 1024 if I % 1024 == 0 else next(
         t for t in (512, 256, 128) if I % t == 0)
-    tk = _pick_tk(C, g)
+    tk = _pick_tk(C, g, pairs)
     x_i8, sx = quantize_acts_per_token(x2)
     if M % tm:
         pad = (-M) % tm
@@ -532,7 +600,7 @@ def gateup_silu_matmul(x: jnp.ndarray, qt: QTensor, act: str, layer):
                             sx.astype(jnp.float32),
                             jnp.asarray(layer, jnp.int32), group=g,
                             int4=int4, tm=tm, tn=tn, tk=tk, act=act,
-                            out_dtype=jnp.dtype(x.dtype))
+                            pairs=pairs, out_dtype=jnp.dtype(x.dtype))
     return out[:M, :I].reshape(*lead, I)
 
 
@@ -549,9 +617,9 @@ def gateup_silu_ok(qt: QTensor, act: str) -> bool:
 
 
 @partial(jax.jit, static_argnames=("group", "int4", "tm", "tn", "tk",
-                                   "out_dtype"))
+                                   "out_dtype", "pairs"))
 def _call_actq(x2, wp, scales_t, *, group, int4, tm, tn, tk,
-               out_dtype=jnp.bfloat16):
+               out_dtype=jnp.bfloat16, pairs=False):
     """In-kernel act-quant variant: x2 is the raw (M, C) bf16/f32 block.
     The full activation row rides as ONE block per M-tile (index constant
     over j/k -> a single DMA), quantized into VMEM scratch at the first
@@ -563,7 +631,8 @@ def _call_actq(x2, wp, scales_t, *, group, int4, tm, tn, tk,
     gpk = tk // group
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        partial(_w4a8_kernel_actq, group=group, tk=tk, nk=nk, int4=int4),
+        partial(_w4a8_kernel_actq, group=group, tk=tk, nk=nk, int4=int4,
+                pairs=pairs),
         grid=(_cdiv(M, tm), _cdiv(N, tn), nk),
         in_specs=[
             pl.BlockSpec((tm, C), lambda i, j, k: (i, 0),
@@ -633,13 +702,16 @@ def supported(qt: QTensor) -> bool:
             and C % 128 == 0 and g >= 128)
 
 
-def _pick_tk(C: int, g: int) -> int:
-    """Largest whole-group K tile <= 2048 dividing C (>=1 group)."""
+def _pick_tk(C: int, g: int, pairs: bool = False) -> int:
+    """Largest whole-group K tile <= 2048 dividing C (>=1 group). With
+    ``pairs`` (pair-planes packed codes) the tile must hold whole group
+    PAIRS — even multiples only (a pair's two groups share byte columns,
+    so an odd-group tile would split bytes across k blocks)."""
     ng = C // g
-    for m in (16, 8, 4, 2, 1):
+    for m in ((16, 8, 4, 2) if pairs else (16, 8, 4, 2, 1)):
         if m * g <= 2048 and ng % m == 0:
             return m * g
-    return g
+    return 2 * g if pairs else g
 
 
 def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
@@ -663,6 +735,7 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
     scales_t = (qt.scales_t if qt.scales_t is not None
                 else qt.scales.reshape(N, C // g).T)
     int4 = qt.quantizer.fmt == ElemFormat.int4
+    pairs = bool(qt.pair_planes) and int4
     wp = qt.codes  # flat (N, C/2) / (N, C) — no per-call relayout
 
     tm = min(_round_up(M, 32), 256)  # int8 sublane tile is 32
@@ -670,7 +743,7 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
     # odd row counts (e.g. the 128256-row vocab head) don't force tiny tiles
     # (TN=256 there costs 3x, measured).
     tn = 1024 if N >= 1024 else next(t for t in (512, 256, 128) if N % t == 0)
-    tk = _pick_tk(C, g)
+    tk = _pick_tk(C, g, pairs)
     if layer is not None:
         x_i8, sx = quantize_acts_per_token(x2, absmax_axis)
         if M % tm:
@@ -679,7 +752,7 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
             sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
         out = _call_stacked(x_i8, wp, scales_t, sx.astype(jnp.float32),
                             jnp.asarray(layer, jnp.int32), group=g,
-                            int4=int4, tm=tm, tn=tn, tk=tk,
+                            int4=int4, tm=tm, tn=tn, tk=tk, pairs=pairs,
                             out_dtype=jnp.dtype(x.dtype))
     elif absmax_axis is None and act_inside:
         # act quant INSIDE the kernel (A/B experiment path; measured ~equal
@@ -690,7 +763,8 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
         if M % tm:
             x2 = jnp.pad(x2, ((0, (-M) % tm), (0, 0)))
         out = _call_actq(x2, wp, scales_t, group=g, int4=int4,
-                         tm=tm, tn=tn, tk=tk, out_dtype=jnp.dtype(x.dtype))
+                         tm=tm, tn=tn, tk=tk, pairs=pairs,
+                         out_dtype=jnp.dtype(x.dtype))
     else:
         x_i8, sx = quantize_acts_per_token(x2, absmax_axis)
         if M % tm:
@@ -698,7 +772,7 @@ def w4a8_matmul(x: jnp.ndarray, qt: QTensor, bias=None,
             x_i8 = jnp.pad(x_i8, ((0, pad), (0, 0)))
             sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
         out = _call(x_i8, wp, scales_t, sx.astype(jnp.float32),
-                    group=g, int4=int4, tm=tm, tn=tn, tk=tk,
+                    group=g, int4=int4, tm=tm, tn=tn, tk=tk, pairs=pairs,
                     out_dtype=jnp.dtype(x.dtype))
     out = out[:M, :N]
     if bias is not None:

@@ -281,7 +281,9 @@ def save_compressed(params, cfg: ModelConfig, path: "str | Path",
                     packed[f"{hf_name}.{leaf}.scales"] = np.asarray(v.scales)
                     if v.zeros is not None:
                         packed[f"{hf_name}.{leaf}.zeros"] = np.asarray(v.zeros)
-                    v = dequantize(v)
+                    if v.pair_planes:  # int4 nibble layout marker (absent
+                        packed[f"{hf_name}.{leaf}.pair"] = np.asarray(True)
+                    v = dequantize(v)  # = legacy "group halves", pre-r5)
                 sd[f"{hf_name}.{leaf}"] = np.asarray(v.astype(jnp.float32)).astype(np.float32)
 
     def walk(mapping, tree):
@@ -359,6 +361,8 @@ def load_compressed(path: "str | Path", cfg: ModelConfig,
                     group_axis=2, ngroups_axis=1,
                     dtype=_dt(cfg),
                     scales_t=scale_strip(q, W_shape, scales),
+                    pair_planes=(f"{hf}.weight.pair" in data
+                                 and bool(data[f"{hf}.weight.pair"])),
                 )
     return params
 

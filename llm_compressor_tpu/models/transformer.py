@@ -578,7 +578,8 @@ def _concat_linear(entries, axis0_sizes, shards: int = 1):
             ngroups_axis=q0.ngroups_axis,
             dtype=q0.dtype,
             scales_t=scale_strip(q0.quantizer, shape, scales),
-        )
+            pair_planes=q0.pair_planes,  # concat is along N; the K-axis
+        )                                # nibble layout is untouched
     else:
         weight = _shard_interleave(ws, shards)
     out = {"weight": weight}

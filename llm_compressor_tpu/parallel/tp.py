@@ -158,11 +158,35 @@ def tp_init_cache(cfg: ModelConfig, mesh: Mesh, batch: int, max_len: int,
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs)
 
 
+def _unpair_odd_row_shards(params, n_model: int):
+    """Convert pair-planes int4 QTensors in ROW-parallel slots (o/down/fc2
+    — contraction dim sharded) back to "group halves" when the per-shard
+    group count would be ODD: the pair layout interleaves two groups per
+    byte column block, so a contiguous byte-axis slice at an odd group
+    boundary splits pairs and the local shard is not a valid layout of its
+    groups. Column-parallel slots shard N and keep their pair layout."""
+    from ..qformats.qtensor import QTensor, to_group_halves
+
+    def walk(node, slot=None):
+        if isinstance(node, QTensor):
+            if (slot in _ROW_SLOTS and node.pair_planes
+                    and (node.scales.shape[-1] // max(n_model, 1)) % 2):
+                return to_group_halves(node)
+            return node
+        if isinstance(node, dict):
+            return {k: walk(v, k if k in _ROW_SLOTS else slot)
+                    for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def tp_shard_params(params, cfg: ModelConfig, mesh: Mesh,
                     fused: bool = False):
     """device_put serving params (stacked or per-layer) with TP shardings.
     ``fused=True`` declares fuse_model(shards=n_model) interleaved params."""
     n_model = int(mesh.shape["model"])
+    params = _unpair_odd_row_shards(params, n_model)
     specs = tp_param_specs(params, n_model, fused)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)

@@ -9,9 +9,12 @@ reference path.
 
 Layout conventions:
 * ``codes`` keeps the logical shape of the source tensor except the *group
-  axis is halved* for 4-bit formats (two values per byte, even index in the
-  low nibble). Packing always runs along the group axis so a Pallas kernel
-  reading one group reads contiguous bytes.
+  axis is halved* for 4-bit formats (two values per byte). int4 defaults
+  to the "pair planes" nibble layout (byte j of group pair t holds elems
+  (2t*g + j, (2t+1)*g + j) — the W4A8 kernel then reads each group as a
+  contiguous K=g nibble-plane slice with byte-op-only unpack, see
+  :func:`_pack_nibbles_pairs`); fp4 and odd group counts keep the legacy
+  "group halves" layout (byte i of a group = elems (i, i + g/2)).
 * Storage is FLAT: the ``(n_groups, group)`` pair produced by blocking is
   merged back into one axis before storing — ``codes`` for a (N, C) weight
   is (N, C) int8 / (N, C/2) uint8, ``scales``/``zeros`` are (N, G). TPU
@@ -65,6 +68,11 @@ class QTensor:
     # exp_kernel_dissect3.py) — so the strip is materialized once at
     # pack/load/fuse time and rides in the pytree (~3% of the codes' bytes).
     scales_t: Optional[jnp.ndarray] = None
+    # int4 nibble layout: True = "pair planes" (byte j of group pair t holds
+    # elems (2t*g + j, (2t+1)*g + j); the kernel's contiguous-dot layout,
+    # round 5), False = legacy "group halves" (byte i of a group holds
+    # elems (i, i + g/2); fp4/mx and odd group counts).
+    pair_planes: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def fmt(self) -> ElemFormat:
@@ -81,11 +89,12 @@ class QTensor:
 def _pack_nibbles(v: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Pack int values in [0, 15] into uint8, two per byte.
 
-    Kernel-friendly "group halves" layout: byte i of a group holds elements
-    (i, i + g/2) — low nibble = first half, high nibble = second half. A
-    Pallas kernel then unpacks with two mask/shift ops and ONE concatenate
-    along the lane dimension (no stride-2 interleave, which would fight the
-    TPU lane layout).
+    "Group halves" layout: byte i of a group holds elements (i, i + g/2) —
+    low nibble = first half, high nibble = second half. A Pallas kernel
+    then unpacks with two mask/shift ops and ONE concatenate along the lane
+    dimension (no stride-2 interleave, which would fight the TPU lane
+    layout). Used for fp4 and for int4 tensors with an ODD group count
+    (see :func:`_pack_nibbles_pairs` for the int4 default).
     """
     v = v.astype(jnp.uint8)
     n = v.shape[axis]
@@ -100,6 +109,55 @@ def _unpack_nibbles(p: jnp.ndarray, axis: int) -> jnp.ndarray:
     lo = p & jnp.uint8(0x0F)
     hi = p >> 4
     return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _pack_nibbles_pairs(v: jnp.ndarray, ngroups_axis: int,
+                        intra_axis: int) -> jnp.ndarray:
+    """Pack int values in [0, 15] two per byte in the "pair planes" layout:
+    byte j of group PAIR (2t, 2t+1) holds (elem j of group 2t) in the low
+    nibble and (elem j of group 2t+1) in the high nibble. Flattened, pair t
+    occupies g consecutive bytes: byte (t, j) = elems (2t*g + j,
+    (2t+1)*g + j).
+
+    Why (round 5): the W4A8 kernel's per-group K=g MXU dots then read a
+    CONTIGUOUS K=g slice of a nibble plane — the low-nibble plane IS the
+    even groups and the high plane the odd groups — so the unpack is three
+    vector<u8> byte-ops (this Mosaic implements 8-bit AND/OR/XOR:
+    experiments/exp_i8_ops_probe.py) with NO per-group lane concatenates
+    and no int32 round-trip. The old "group halves" layout forced one
+    (TN, g) concatenate per group per k-block, measured as ~60% of the
+    kernel's gap to its DMA floor (experiments/exp_plane_probe.py: qkv
+    15.1 -> 13.2 us/call, gateup 58.5 -> 52.7, down 38.5 -> 32.5,
+    same-run). Requires an even group count along the packing axis.
+    """
+    v = v.astype(jnp.uint8)
+    G = v.shape[ngroups_axis]
+    assert G % 2 == 0, "pair-planes packing needs an even group count"
+    lo = jax.lax.slice_in_dim(v, 0, G, stride=2, axis=ngroups_axis)
+    hi = jax.lax.slice_in_dim(v, 1, G, stride=2, axis=ngroups_axis)
+    return lo | (hi << 4)
+
+
+def _unpack_nibbles_pairs(p: jnp.ndarray, ngroups_axis: int,
+                          intra_axis: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_nibbles_pairs`: (.., G/2, g, ..) packed ->
+    (.., G, g, ..) values (interleave the even/odd group planes)."""
+    lo = p & jnp.uint8(0x0F)
+    hi = p >> 4
+    stacked = jnp.stack([lo, hi], axis=ngroups_axis + 1)
+    s = stacked.shape
+    merged = s[:ngroups_axis] + (s[ngroups_axis] * 2,) + s[ngroups_axis + 2:]
+    return stacked.reshape(merged)
+
+
+def pair_planes_for(q: Quantizer, n_groups: int, group: int) -> bool:
+    """True when a tensor packs in the "pair planes" int4 layout (the W4A8
+    kernel's preferred layout, see :func:`_pack_nibbles_pairs`): symmetric
+    integer int4 with an even group count. fp4/mx keep "group halves", as
+    do groups too large for a whole pair to fit one kernel K-tile
+    (2g > 2048 — the kernel K-tiles at <= 2048, w4a8_matmul._pick_tk)."""
+    return (q.qtype == "int" and q.fmt == ElemFormat.int4
+            and n_groups % 2 == 0 and 2 * group <= 2048)
 
 
 def _encode_fp4(x32: jnp.ndarray) -> jnp.ndarray:
@@ -142,13 +200,17 @@ def quantize_pack(q: Quantizer, x: jnp.ndarray, scales=None, zeros=None) -> QTen
     # axis produced by block() always directly precedes it (blocking.py).
     intra_axis = axes % xb.ndim
 
+    pairs = pair_planes_for(q, xb.shape[meta.axis], xb.shape[intra_axis])
     if q.qtype == "int":
         qmax = float(p.int_max)
         z = zeros if zeros is not None else 0.0
         qv = jnp.clip(jnp.round(x32 / scales + z), -qmax, qmax)
         if q.fmt == ElemFormat.int8:
             codes = qv.astype(jnp.int8)
-        else:  # int4: bias by +8 into [1, 15] (code 8 == 0), pack nibbles
+        elif pairs:  # int4: bias by +8 into [1, 15], pack as pair planes
+            codes = _pack_nibbles_pairs((qv + 8.0).astype(jnp.uint8),
+                                        meta.axis, intra_axis)
+        else:  # int4, odd group count: bias by +8, pack group halves
             codes = _pack_nibbles((qv + 8.0).astype(jnp.uint8), intra_axis)
     elif q.qtype in ("fp", "mx", "nvfp"):
         z = zeros if zeros is not None else 0.0
@@ -184,6 +246,7 @@ def quantize_pack(q: Quantizer, x: jnp.ndarray, scales=None, zeros=None) -> QTen
         ngroups_axis=meta.axis,
         dtype=dtype,
         scales_t=scale_strip(q, tuple(x.shape), scales32),
+        pair_planes=pairs,
     )
 
 
@@ -203,6 +266,27 @@ def scale_strip(q: Quantizer, shape: tuple, scales: jnp.ndarray):
         if scales.size % N == 0:
             return scales.reshape(N, scales.size // N).T
     return None
+
+
+def to_group_halves(qt: QTensor) -> QTensor:
+    """Convert a pair-planes int4 QTensor to the legacy "group halves"
+    layout (same values, byte permutation only). Used when a row-parallel
+    shard would leave an ODD local group count — the pair layout cannot be
+    byte-sliced at an odd group boundary, so such tensors are converted
+    before sharding and run the kernels' legacy unpack path."""
+    if not qt.pair_planes:
+        return qt
+    # Operate on the LAST axis (the flat packed group axis for the 2-D
+    # row-wise tensors that pair-pack) so stacked serving forms
+    # (L, N, C/2) convert too.
+    cs = qt.codes.shape
+    G = qt.scales.shape[-1]
+    gp = cs[-1] // G                     # packed bytes per group (= g/2)
+    a = len(cs) - 1                      # pair axis in the blocked view
+    pb = qt.codes.reshape(cs[:-1] + (G // 2, 2 * gp))
+    vals = _unpack_nibbles_pairs(pb, a, a + 1)          # biased [1,15]
+    legacy = _pack_nibbles(vals, a + 1)                 # (.., G, gp)
+    return qt.replace(codes=legacy.reshape(cs), pair_planes=False)
 
 
 def dequantize(qt: QTensor) -> jnp.ndarray:
@@ -229,6 +313,10 @@ def dequantize(qt: QTensor) -> jnp.ndarray:
     if q.qtype == "int":
         if q.fmt == ElemFormat.int8:
             qv = codes_b.astype(jnp.float32)
+        elif qt.pair_planes:
+            pb = qt.codes.reshape(cs[:a] + (G // 2, 2 * gp) + cs[a + 1:])
+            qv = (_unpack_nibbles_pairs(pb, a, intra).astype(jnp.float32)
+                  - 8.0)
         else:
             qv = _unpack_nibbles(codes_b, intra).astype(jnp.float32) - 8.0
         z = zeros_b if zeros_b is not None else 0.0

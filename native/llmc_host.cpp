@@ -132,4 +132,85 @@ void quantize_pack_int4(const float* W, int64_t n_rows, int64_t n_cols,
   }
 }
 
+// ---- "pair planes" int4 layout (round 5, the kernel default) ----------
+// Byte j of group pair t holds (elem j of group 2t) in the low nibble and
+// (elem j of group 2t+1) in the high nibble — the W4A8 kernel's per-group
+// MXU dots then read contiguous K=g nibble-plane slices with byte-op-only
+// unpack (see kernels/w4a8_matmul.py / qformats/qtensor.py). Requires an
+// even group count.
+
+void pack_int4_pairs(const int8_t* codes, int64_t n_rows, int64_t n_cols,
+                     int64_t group, uint8_t* packed) {
+  const int64_t n_pairs = n_cols / (2 * group);
+  const int64_t out_cols = n_cols / 2;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int8_t* row = codes + r * n_cols;
+    uint8_t* prow = packed + r * out_cols;
+    for (int64_t t = 0; t < n_pairs; ++t) {
+      const int8_t* lo = row + (2 * t) * group;
+      const int8_t* hi = row + (2 * t + 1) * group;
+      uint8_t* pblk = prow + t * group;
+      for (int64_t j = 0; j < group; ++j)
+        pblk[j] = (uint8_t)((uint8_t)(lo[j] + 8) | ((uint8_t)(hi[j] + 8) << 4));
+    }
+  }
+}
+
+void unpack_int4_pairs(const uint8_t* packed, int64_t n_rows, int64_t n_cols,
+                       int64_t group, int8_t* codes) {
+  const int64_t n_pairs = n_cols / (2 * group);
+  const int64_t in_cols = n_cols / 2;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const uint8_t* prow = packed + r * in_cols;
+    int8_t* row = codes + r * n_cols;
+    for (int64_t t = 0; t < n_pairs; ++t) {
+      const uint8_t* pblk = prow + t * group;
+      int8_t* lo = row + (2 * t) * group;
+      int8_t* hi = row + (2 * t + 1) * group;
+      for (int64_t j = 0; j < group; ++j) {
+        lo[j] = (int8_t)((pblk[j] & 0x0F) - 8);
+        hi[j] = (int8_t)((pblk[j] >> 4) - 8);
+      }
+    }
+  }
+}
+
+// Fused: f32 weights -> pair-planes packed int4 + scales in one pass.
+void quantize_pack_int4_pairs(const float* W, int64_t n_rows, int64_t n_cols,
+                              int64_t group, uint8_t* packed, float* scales) {
+  const int64_t n_groups = n_cols / group;
+  const int64_t out_cols = n_cols / 2;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const float* row = W + r * n_cols;
+    uint8_t* prow = packed + r * out_cols;
+    float* srow = scales + r * n_groups;
+    for (int64_t t = 0; t < n_groups / 2; ++t) {
+      float inv[2];
+      for (int h = 0; h < 2; ++h) {
+        const int64_t g = 2 * t + h;
+        const float* blk = row + g * group;
+        float amax = 0.0f;
+        for (int64_t i = 0; i < group; ++i) {
+          float a = std::fabs(blk[i]);
+          if (a > amax) amax = a;
+        }
+        float s = amax / 7.0f;
+        if (s < 1e-5f) s = 1e-5f;
+        srow[g] = s;
+        inv[h] = 1.0f / s;
+      }
+      const float* lo = row + (2 * t) * group;
+      const float* hi = row + (2 * t + 1) * group;
+      uint8_t* pblk = prow + t * group;
+      for (int64_t j = 0; j < group; ++j) {
+        float qa = round_even(lo[j] * inv[0]);
+        float qb = round_even(hi[j] * inv[1]);
+        if (qa > 7.f) qa = 7.f; if (qa < -7.f) qa = -7.f;
+        if (qb > 7.f) qb = 7.f; if (qb < -7.f) qb = -7.f;
+        pblk[j] = (uint8_t)(((int)qa + 8) | (((int)qb + 8) << 4));
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -196,3 +196,30 @@ def test_tp_interleave_fused_matches_single_device():
     step, cache = dec(sp, jnp.asarray(toks[:, :1]), cache)
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(step), ref_step, rtol=2e-3, atol=2e-3)
+
+
+def test_pair_planes_unpair_on_odd_row_shard():
+    """A pair-planes int4 QTensor in a ROW-parallel slot whose per-shard
+    group count would be odd is converted to group halves before sharding
+    (the pair layout cannot be byte-sliced at an odd group boundary);
+    even splits and column-parallel slots keep the pair layout."""
+    import numpy as np
+    from llm_compressor_tpu.parallel.tp import _unpair_odd_row_shards
+    from llm_compressor_tpu.qformats import ElemFormat, Quantizer, quantize_pack
+    from llm_compressor_tpu.qformats.qtensor import dequantize
+
+    rng = np.random.default_rng(0)
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=32)
+    W = rng.normal(0, 0.1, size=(64, 192)).astype(np.float32)  # G = 6
+    qt = quantize_pack(q, jnp.asarray(W))
+    assert qt.pair_planes
+    tree = {"mlp": {"down": {"weight": qt}, "up": {"weight": qt}}}
+
+    out3 = _unpair_odd_row_shards(tree, 3)     # G/3 = 2 even -> keep
+    assert out3["mlp"]["down"]["weight"].pair_planes
+    out2 = _unpair_odd_row_shards(tree, 2)     # G/2 = 3 odd -> convert
+    conv = out2["mlp"]["down"]["weight"]
+    assert not conv.pair_planes
+    assert out2["mlp"]["up"]["weight"].pair_planes  # column slot untouched
+    np.testing.assert_array_equal(np.asarray(dequantize(conv)),
+                                  np.asarray(dequantize(qt)))

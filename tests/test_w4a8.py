@@ -232,3 +232,69 @@ def test_fused_gateup_silu_matches_split(rng):
         # from the per-op-rounded split path.
         np.testing.assert_allclose(got, ref, rtol=2e-2,
                                    atol=2e-2 * np.abs(ref).max())
+
+
+def test_pair_planes_layout(rng):
+    """Round-5 pair-planes int4 layout: packing pairs adjacent groups into
+    nibble planes (byte j of pair t = elems (2t*g+j, (2t+1)*g+j)); the
+    kernel's pair path, the legacy group-halves path on converted codes,
+    and the XLA dequantize all agree on identical values."""
+    from llm_compressor_tpu.qformats.qtensor import to_group_halves
+
+    N, C, g, M = 256, 512, 128, 8
+    W = rng.normal(0, 0.1, size=(N, C)).astype(np.float32)
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=g)
+    qt = quantize_pack(q, jnp.asarray(W))
+    assert qt.pair_planes  # even group count -> pairs by default
+
+    # byte semantics: lo nibble = even group, hi nibble = odd group
+    codes = np.asarray(qt.codes)
+    vals = np.asarray(dequantize(qt), np.float32)
+    scales = np.asarray(qt.scales)
+    t, j = 1, 5  # pair 1 (groups 2, 3), elem 5
+    lo = int(codes[0, t * g + j] & 0x0F) - 8
+    hi = int(codes[0, t * g + j] >> 4) - 8
+    assert lo * scales[0, 2 * t] == pytest.approx(vals[0, 2 * t * g + j])
+    assert hi * scales[0, 2 * t + 1] == pytest.approx(
+        vals[0, (2 * t + 1) * g + j])
+
+    leg = to_group_halves(qt)
+    assert not leg.pair_planes
+    np.testing.assert_array_equal(np.asarray(dequantize(leg)),
+                                  np.asarray(dequantize(qt)))
+
+    x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    y_pair = np.asarray(w4a8_matmul(x, qt), np.float32)
+    y_leg = np.asarray(w4a8_matmul(x, leg), np.float32)
+    # same quantized matmul; pair path folds the lo bias into one epilogue
+    # dot and the 16x hi factor into the scales (f32-exact) — ulp-class
+    np.testing.assert_allclose(y_pair, y_leg, atol=2e-2, rtol=1e-2)
+
+
+def test_pair_planes_odd_groups_fall_back(rng):
+    """Odd group count cannot pair: packs group halves, kernel still runs."""
+    N, C, g = 128, 384, 128  # G = 3
+    W = rng.normal(0, 0.1, size=(N, C)).astype(np.float32)
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=g)
+    qt = quantize_pack(q, jnp.asarray(W))
+    assert not qt.pair_planes
+    x = jnp.asarray(rng.normal(size=(4, C)).astype(np.float32))
+    ref = np.asarray(_simulated(x, qt))
+    out = np.asarray(w4a8_matmul(x, qt), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+
+def test_pair_planes_dequant_matmul(rng):
+    """The dequant kernel's pair path matches the XLA dequantize path."""
+    from llm_compressor_tpu.kernels.dequant_matmul import (
+        dequant_matmul, dequant_matmul_xla)
+
+    N, C, g = 256, 512, 128
+    W = rng.normal(0, 0.1, size=(N, C)).astype(np.float32)
+    q = Quantizer(qtype="int", fmt=ElemFormat.int4, group_size=g)
+    qt = quantize_pack(q, jnp.asarray(W))
+    assert qt.pair_planes
+    x = jnp.asarray(rng.normal(size=(8, C)).astype(np.float32), jnp.bfloat16)
+    got = np.asarray(dequant_matmul(x, qt), np.float32)
+    ref = np.asarray(dequant_matmul_xla(x, qt), np.float32)
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=2e-2)
